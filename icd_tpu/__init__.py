@@ -1,0 +1,22 @@
+"""icd_tpu — TPU-native image-captioning framework.
+
+A ground-up JAX / XLA / Pallas rebuild of the capabilities of
+SarahAlkhateeb/Image-Captioning-with-Different-Decoders (reference at
+/root/reference): a frozen ResNet-101 encoder feeding three decoder
+families (plain LSTM baseline, Bahdanau soft-attention LSTM, and the
+attention decoder with BERT contextual embeddings), GloVe pretrained
+embeddings, greedy / beam-search caption generation, and the
+COCO-caption BLEU / METEOR / ROUGE-L / CIDEr scoring stack.
+
+Layout:
+    data/       host-side COCO index, tokenization, vocabulary, GloVe
+    models/     pure-JAX ResNet-101 encoder + decoder families
+    ops/        Pallas TPU kernels and fused device ops
+    parallel/   jax.sharding mesh + SPMD train-step sharding
+    training/   train / evaluate drivers (reference train.py semantics)
+    decoding/   batched on-device greedy + beam search
+    eval_func/  BLEU / ROUGE-L / CIDEr / METEOR scorers
+    native/     C++ RLE mask kernels (cocoapi maskApi equivalent)
+"""
+
+__version__ = "0.1.0"

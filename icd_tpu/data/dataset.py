@@ -1,0 +1,119 @@
+"""COCO captioning dataset (host side).
+
+Reproduces the reference dataset semantics (reference: dataset.py:14-96):
+ - one sample per *caption* (an image appears once per caption)
+ - the caption<->image mapping is filtered by **character length** of the
+   raw caption string: ``len(ann['caption']) <= caption_max_len``
+   (dataset.py:33-34); ``-1`` disables the filter
+ - captions are tokenized lazily per item with
+   word_tokenize(str(caption).lower()) wrapped in <start>/<end>
+   (dataset.py:44-50)
+ - 'train' mode yields (img, caption); 'val' mode additionally yields the
+   image path and all alternative captions (dataset.py:66-71)
+
+TPU-first deviation: images are decoded and resized on the host but kept
+as **uint8 NHWC** arrays; ImageNet normalization is fused into the jitted
+device step (icd_tpu.ops.image.normalize_imagenet), cutting host->HBM
+transfer 4x versus the reference's float32 ``.to(device)``.
+"""
+
+import os
+
+import numpy as np
+from PIL import Image
+
+from ..pathconf import PathConfig
+from ..vocabulary import END_TOKEN, START_TOKEN, load_vocab
+from .coco import COCO
+from .tokenize import word_tokenize
+
+IMG_SIZE = 224  # transforms.Resize((224, 224)) in all reference drivers.
+
+
+class COCODataset:
+    """One sample per caption, images re-read per item (reference: dataset.py:14)."""
+
+    def __init__(self, mode, img_transform=None, caption_max_len=50,
+                 vocab=None, img_size=IMG_SIZE):
+        assert mode in ["train", "val"]
+
+        self.mode = mode
+        self.img_transform = img_transform
+        self.vocab = vocab if vocab is not None else load_vocab()
+        # Note: caption_max_len filters on *character* length of the raw
+        # caption string, matching dataset.py:33-34; -1 means no filter.
+        self.caption_max_len = (caption_max_len if caption_max_len != -1
+                                else float("inf"))
+        self.img_size = img_size
+        self.anno_file = get_anno_file(mode)
+        self.img_dir = get_img_dir(mode)
+        self.coco = COCO(self.anno_file)
+        self.img_ids = list(sorted(self.coco.imgs.keys()))
+        self.caption_img_mappings = self._build_caption_img_mappings()
+
+    def _build_caption_img_mappings(self):
+        mappings = []
+        for img_id in self.img_ids:
+            anns = self._get_annotations(img_id)
+            mappings.extend(
+                {"caption": ann["caption"], "img_id": img_id}
+                for ann in anns
+                if len(ann["caption"]) <= self.caption_max_len)
+        return mappings
+
+    def _get_annotations(self, img_id):
+        ann_ids = self.coco.getAnnIds(imgIds=img_id)
+        return self.coco.loadAnns(ann_ids)
+
+    def _numericalize_caption(self, caption):
+        tokens = word_tokenize(str(caption).lower())
+        result = [self.vocab(START_TOKEN)]
+        result.extend(self.vocab(token) for token in tokens)
+        result.append(self.vocab(END_TOKEN))
+        return np.asarray(result, dtype=np.int32)
+
+    def _load_img(self, img_id):
+        img_path = self.coco.loadImgs(img_id)[0]["file_name"]
+        img = Image.open(os.path.join(self.img_dir, img_path)).convert("RGB")
+        img = img.resize((self.img_size, self.img_size), Image.BILINEAR)
+        arr = np.asarray(img, dtype=np.uint8)  # (H, W, 3) uint8
+        if self.img_transform is not None:
+            arr = self.img_transform(arr)
+        return arr
+
+    def __getitem__(self, idx):
+        mapping = self.caption_img_mappings[idx]
+        caption, img_id = mapping["caption"], mapping["img_id"]
+
+        img = self._load_img(img_id)
+        caption = self._numericalize_caption(caption)
+
+        if self.mode == "train":
+            return img, caption
+        img_path = os.path.join(
+            self.img_dir, self.coco.loadImgs(img_id)[0]["file_name"])
+        all_captions = [self._numericalize_caption(ann["caption"])
+                        for ann in self._get_annotations(img_id)]
+        return img, caption, img_path, all_captions
+
+    def __len__(self):
+        # Number of captions; an image can have multiple captions.
+        return len(self.caption_img_mappings)
+
+
+def get_anno_file(mode):
+    if mode == "train":
+        return PathConfig.train_anno_file
+    return PathConfig.val_anno_file
+
+
+def get_img_dir(mode):
+    if mode == "train":
+        return PathConfig.train_img_dir
+    return PathConfig.val_img_dir
+
+
+if __name__ == "__main__":
+    # Installation smoke check, mirroring reference dataset.py:92-96.
+    print(len(COCODataset("train", caption_max_len=-1)))
+    print(len(COCODataset("val", caption_max_len=-1)))

@@ -1,0 +1,177 @@
+"""Batched, padded, device-prefetched input pipeline.
+
+Replaces the reference's ``torch.utils.data.DataLoader`` with
+pad-to-batch-max collate (reference: models/baseline.py:133-149,
+models/attention.py:303-323). Worker parallelism uses a thread pool (image
+decode is C code that releases the GIL); ``device_prefetch`` keeps the
+next batch in flight to HBM so the accelerator never waits on host IO.
+
+Collate semantics preserved from the reference:
+ - captions are padded with the vocabulary's <pad> id to the longest
+   caption in the batch (pad_sequence, baseline.py:137-139)
+ - attention-driver caption_lengths are computed *after* padding so they
+   are uniform per batch (attention.py:311-313) — we reproduce that by
+   returning the padded length for every row.
+"""
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+
+class Batch(dict):
+    """Dict-like batch with attribute access."""
+
+    __getattr__ = dict.__getitem__
+
+
+def pad_captions(captions, pad_idx, max_len=None):
+    """Pad a list of 1-D int arrays to (B, T) with pad_idx."""
+    if max_len is None:
+        max_len = max(len(c) for c in captions)
+    out = np.full((len(captions), max_len), pad_idx, dtype=np.int32)
+    for i, c in enumerate(captions):
+        out[i, : len(c)] = c[:max_len]
+    return out
+
+
+class DataLoader:
+    """Shuffled, batched iterator over a COCODataset.
+
+    Args:
+        dataset: COCODataset (or anything indexable returning the same
+            tuple structure).
+        batch_size: Batch size.
+        shuffle: Reshuffle indices every epoch.
+        num_workers: Thread-pool width for parallel item loading.
+        pad_idx: Padding token id.
+        drop_last: Drop the trailing partial batch. TPU programs are
+            compiled per shape, so training keeps static batch shapes by
+            default (drop_last=True); eval pads the final batch instead.
+        pad_to_multiple: Round the padded caption length up to a multiple
+            (reduces XLA recompiles across batches; 0 disables).
+        seed: Shuffle seed.
+    """
+
+    def __init__(self, dataset, batch_size, shuffle=True, num_workers=0,
+                 pad_idx=0, drop_last=True, pad_to_multiple=8, seed=0):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(0, num_workers)
+        self.pad_idx = pad_idx
+        self.drop_last = drop_last
+        self.pad_to_multiple = pad_to_multiple
+        self._rng = np.random.default_rng(seed)
+        self._epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _padded_len(self, captions):
+        max_len = max(len(c) for c in captions)
+        m = self.pad_to_multiple
+        if m:
+            max_len = ((max_len + m - 1) // m) * m
+        return max_len
+
+    def _collate(self, items):
+        is_val = len(items[0]) == 4
+        imgs = np.stack([item[0] for item in items], axis=0)
+        captions = [item[1] for item in items]
+        max_len = self._padded_len(captions)
+        caption_lengths = np.asarray([len(c) for c in captions], np.int32)
+        padded = pad_captions(captions, self.pad_idx, max_len)
+        batch = Batch(imgs=imgs, captions=padded,
+                      caption_lengths=caption_lengths,
+                      # Reference attention collate measures lengths after
+                      # padding -> uniform per batch (attention.py:311-313).
+                      padded_lengths=np.full(len(items), max_len, np.int32))
+        if is_val:
+            batch["img_paths"] = [item[2] for item in items]
+            batch["all_captions"] = [item[3] for item in items]
+        return batch
+
+    def __iter__(self):
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            order = self._rng.permutation(n)
+        self._epoch += 1
+
+        batches = [order[i: i + self.batch_size]
+                   for i in range(0, n, self.batch_size)]
+        if self.drop_last:
+            batches = [b for b in batches if len(b) == self.batch_size]
+
+        if self.num_workers <= 1:
+            for idxs in batches:
+                yield self._collate([self.dataset[int(i)] for i in idxs])
+            return
+
+        with ThreadPoolExecutor(self.num_workers) as pool:
+            # Pipeline: submit the next batch's item futures while the
+            # current batch is being consumed downstream.
+            pending = []
+            DEPTH = 2
+            bi = 0
+            while bi < len(batches) or pending:
+                while bi < len(batches) and len(pending) < DEPTH:
+                    idxs = batches[bi]
+                    pending.append(
+                        [pool.submit(self.dataset.__getitem__, int(i))
+                         for i in idxs])
+                    bi += 1
+                futs = pending.pop(0)
+                yield self._collate([f.result() for f in futs])
+
+
+def device_prefetch(iterator, size=2, sharding=None):
+    """Prefetch host batches into device memory (double buffering).
+
+    Transfers run on a background thread via jax.device_put so the next
+    batch lands in HBM while the current step computes — the TPU-native
+    replacement for the reference's per-batch ``.to(device)``
+    (attention.py:389-390).
+
+    Args:
+        iterator: Yields pytrees of numpy arrays (non-array leaves pass
+            through untransferred).
+        size: Queue depth.
+        sharding: Optional jax.sharding.Sharding applied to every array
+            leaf (e.g. batch-sharded NamedSharding over the mesh).
+    """
+    import jax
+
+    def _put(batch):
+        def leaf(x):
+            if isinstance(x, np.ndarray):
+                return jax.device_put(x, sharding)
+            if isinstance(x, dict):
+                return type(x)({k: leaf(v) for k, v in x.items()})
+            return x
+
+        return leaf(batch)
+
+    q = queue.Queue(maxsize=size)
+    _SENTINEL = object()
+
+    def producer():
+        try:
+            for batch in iterator:
+                q.put(_put(batch))
+        finally:
+            q.put(_SENTINEL)
+
+    thread = threading.Thread(target=producer, daemon=True)
+    thread.start()
+    while True:
+        item = q.get()
+        if item is _SENTINEL:
+            break
+        yield item

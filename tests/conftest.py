@@ -1,0 +1,105 @@
+"""Test configuration: force an 8-device virtual CPU platform before JAX
+imports anywhere, and provide tiny COCO fixtures on disk."""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import json
+import pickle
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from icd_tpu.vocabulary import (  # noqa: E402
+    END_TOKEN, PAD_TOKEN, START_TOKEN, UNK_TOKEN, Vocabulary)
+
+CAPTIONS = {
+    "train": [
+        (1, "A man riding a horse on the beach."),
+        (1, "The man rides a brown horse."),
+        (2, "A dog runs across the green field."),
+        (2, "Small dog running in grass."),
+        (3, "A plate of food on the table."),
+        (3, "Food is on a white plate."),
+        (4, "Two cats are sleeping on the couch."),
+        (4, "Cats sleeping together on a sofa."),
+    ],
+    "val": [
+        (11, "A man walking a dog on a leash."),
+        (12, "A horse standing in a field."),
+        (12, "The brown horse stands near a fence."),
+        (13, "A cat sitting on a table."),
+    ],
+}
+
+
+def _make_split(root, split, entries, img_size=48, seed=0):
+    img_dir = os.path.join(root, "cocoapi", "images", f"{split}2014")
+    os.makedirs(img_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    images, annotations = [], []
+    seen = set()
+    for ann_id, (img_id, caption) in enumerate(entries, start=1000):
+        file_name = f"COCO_{split}2014_{img_id:012d}.jpg"
+        if img_id not in seen:
+            seen.add(img_id)
+            from PIL import Image
+
+            arr = rng.integers(0, 255, (img_size, img_size, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(os.path.join(img_dir, file_name))
+            images.append({"id": img_id, "file_name": file_name,
+                           "height": img_size, "width": img_size})
+        annotations.append({"id": ann_id, "image_id": img_id,
+                            "caption": caption})
+    anno_dir = os.path.join(root, "cocoapi", "annotations")
+    os.makedirs(anno_dir, exist_ok=True)
+    with open(os.path.join(anno_dir, f"captions_{split}2014.json"), "w") as f:
+        json.dump({"images": images, "annotations": annotations}, f)
+
+
+@pytest.fixture(scope="session")
+def coco_root(tmp_path_factory):
+    """A miniature COCO-2014 layout with vocab pickle, rooted like the
+    reference repo (pathconf-compatible via ICD_TPU_ROOT)."""
+    root = str(tmp_path_factory.mktemp("coco_root"))
+    for split, entries in CAPTIONS.items():
+        _make_split(root, split, entries)
+
+    os.environ["ICD_TPU_ROOT"] = root
+    from icd_tpu.vocabulary import build_vocab, save_vocab
+    from icd_tpu.data.coco import COCO
+    from icd_tpu.pathconf import PathConfig
+
+    vocab = build_vocab(threshold=1, coco=COCO(PathConfig.train_anno_file))
+    os.makedirs(os.path.join(root, "pkldata"), exist_ok=True)
+    save_vocab(vocab)
+    os.makedirs(os.path.join(root, "checkpoints"), exist_ok=True)
+    os.makedirs(os.path.join(root, "eval_data"), exist_ok=True)
+    return root
+
+
+@pytest.fixture()
+def use_coco_root(coco_root, monkeypatch):
+    monkeypatch.setenv("ICD_TPU_ROOT", coco_root)
+    return coco_root
+
+
+@pytest.fixture(scope="session")
+def tiny_vocab():
+    vocab = Vocabulary()
+    vocab.add_word(PAD_TOKEN)
+    for w in ["a", "man", "riding", "horse", "dog", "on", "the", "beach",
+              "runs", "field", "cat", "sitting", "table", "."]:
+        vocab.add_word(w)
+    vocab.add_word(START_TOKEN)
+    vocab.add_word(END_TOKEN)
+    vocab.add_word(UNK_TOKEN)
+    return vocab
