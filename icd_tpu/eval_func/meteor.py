@@ -1,0 +1,86 @@
+"""METEOR 1.5 via the upstream Java jar's stdio protocol.
+
+METEOR is alignment-based string processing, so it stays host-side as a
+long-lived Java subprocess exactly like the reference (reference:
+eval_func/meteor/meteor.py:18-58, 'SCORE'/'EVAL' line protocol guarded by
+a lock). The jar is a large external artifact; when it (or a Java
+runtime) is unavailable the scorer degrades to zeros with a one-time
+warning instead of crashing the whole evaluation — the reference snapshot
+itself ships without the jar (.MISSING_LARGE_BLOBS).
+
+Set METEOR_JAR to point at meteor-1.5.jar (default: this directory).
+"""
+
+import os
+import shutil
+import subprocess
+import threading
+import warnings
+
+
+def _jar_path():
+    env = os.environ.get("METEOR_JAR")
+    if env:
+        return env
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "meteor-1.5.jar")
+
+
+class Meteor:
+    def __init__(self):
+        self.lock = threading.Lock()
+        self.meteor_p = None
+        jar = _jar_path()
+        if os.path.exists(jar) and shutil.which("java"):
+            cmd = ["java", "-jar", "-Xmx2G", jar,
+                   "-", "-", "-stdio", "-l", "en", "-norm"]
+            self.meteor_p = subprocess.Popen(
+                cmd, cwd=os.path.dirname(jar),
+                stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE)
+        else:
+            warnings.warn(
+                "METEOR jar or Java runtime unavailable; METEOR scores "
+                "will be 0.0. Set METEOR_JAR to enable.", stacklevel=2)
+
+    def compute_score(self, gts, res):
+        if self.meteor_p is None:
+            return 0.0, [0.0] * len(res)
+
+        scores = []
+        eval_line = "EVAL"
+        with self.lock:
+            for refs, hyp in zip(gts, res):
+                assert len(hyp) == 1
+                stat = self._stat(hyp[0], refs)
+                eval_line += " ||| {}".format(stat)
+            self.meteor_p.stdin.write(
+                "{}\n".format(eval_line).encode())
+            self.meteor_p.stdin.flush()
+            for _ in range(len(res)):
+                scores.append(
+                    float(self.meteor_p.stdout.readline().strip()))
+            score = float(self.meteor_p.stdout.readline().strip())
+        return score, scores
+
+    def _stat(self, hypothesis_str, reference_list):
+        # SCORE ||| ref 1 ||| ... ||| ref n ||| hypothesis
+        hypothesis_str = hypothesis_str.replace("|||", "").replace("  ", " ")
+        score_line = " ||| ".join(
+            ("SCORE", " ||| ".join(reference_list), hypothesis_str))
+        self.meteor_p.stdin.write("{}\n".format(score_line).encode())
+        self.meteor_p.stdin.flush()
+        return self.meteor_p.stdout.readline().decode().strip()
+
+    def method(self):
+        return "METEOR"
+
+    def __del__(self):
+        if self.meteor_p is not None:
+            try:
+                with self.lock:
+                    self.meteor_p.stdin.close()
+                    self.meteor_p.kill()
+                    self.meteor_p.wait()
+            except Exception:
+                pass
