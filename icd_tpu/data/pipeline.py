@@ -144,14 +144,16 @@ def device_prefetch(iterator, size=2, sharding=None):
             through untransferred).
         size: Queue depth.
         sharding: Optional jax.sharding.Sharding applied to every array
-            leaf (e.g. batch-sharded NamedSharding over the mesh).
+            leaf, or a callable (ndarray -> Sharding) for per-leaf
+            layouts (e.g. batch-sharded on axis 0 whatever the rank).
     """
     import jax
 
     def _put(batch):
         def leaf(x):
             if isinstance(x, np.ndarray):
-                return jax.device_put(x, sharding)
+                s = sharding(x) if callable(sharding) else sharding
+                return jax.device_put(x, s)
             if isinstance(x, dict):
                 return type(x)({k: leaf(v) for k, v in x.items()})
             return x

@@ -1,0 +1,55 @@
+"""Batched on-device greedy decoding.
+
+Free-running caption generation as a fixed-length ``lax.scan`` with
+finished-beam masking — the TPU-shaped replacement for per-step Python
+loops. The reference only implements beam search for generation
+(gen_captions.py); greedy decode is the throughput path benchmarked in
+BASELINE.md (encode + greedy decode, batch 64).
+"""
+
+import jax
+import jax.numpy as jnp
+
+from ..models.lstm import lstm_cell
+
+MAX_STEPS = 50  # reference caps generation at 50 steps (gen_captions.py:119)
+
+
+def greedy_decode_baseline(decoder_params, img_features, start_id, end_id,
+                           max_len=MAX_STEPS):
+    """Greedy decode from the baseline LSTM decoder.
+
+    Args:
+        img_features: (B, embed_size) encoder output.
+
+    Returns:
+        (B, max_len) int32 tokens; positions after <end> are padded with
+        end_id.
+    """
+    emb = decoder_params["embedding"]
+    lin = decoder_params["linear"]
+    lstm = decoder_params["lstm"]
+    batch = img_features.shape[0]
+    hidden = lstm["wh"].shape[0]
+
+    h = jnp.zeros((batch, hidden), img_features.dtype)
+    c = jnp.zeros((batch, hidden), img_features.dtype)
+    # Timestep 0 consumes the image feature (baseline.py:102-106).
+    h, c = lstm_cell(lstm, img_features, h, c)
+    first = jnp.argmax(h @ lin["w"] + lin["b"], axis=-1).astype(jnp.int32)
+    finished = first == end_id
+
+    def step(carry, _):
+        h, c, tok, finished = carry
+        x = emb[tok]
+        h, c = lstm_cell(lstm, x, h, c)
+        logits = h @ lin["w"] + lin["b"]
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        nxt = jnp.where(finished, end_id, nxt)
+        finished = finished | (nxt == end_id)
+        return (h, c, nxt, finished), nxt
+
+    (_, _, _, _), toks = jax.lax.scan(
+        step, (h, c, first, finished), None, length=max_len - 1)
+    return jnp.concatenate(
+        [first[:, None], jnp.swapaxes(toks, 0, 1)], axis=1)

@@ -69,13 +69,16 @@ def encoder_attention_forward(params, imgs, train=False, compute_dtype=None,
     return feats, dict(params, resnet=new_resnet)
 
 
-def trainable_mask(params, fine_tune=False):
+def trainable_mask(params, fine_tune=False, head=True):
     """Boolean pytree: which encoder params receive gradients.
 
-    The resnet backbone is frozen (reference: encoder.py:42-43); the
-    baseline head's embed Linear always trains; fine_tune=True unfreezes
-    resnet stages 2-4 (children[5:], reference: encoder.py:60-69). BN
-    running stats are never 'trainable' (they update via forward).
+    The resnet backbone is frozen (reference: encoder.py:42-43).
+    ``head`` marks the baseline embed Linear trainable — note the
+    reference only ever *optimizes* it when --fine_tune_encoder is set
+    (baseline.py:158-163), so drivers pass head=args.fine_tune_encoder.
+    ``fine_tune=True`` additionally unfreezes resnet stages 2-4
+    (children[5:], reference: encoder.py:60-69). BN running stats are
+    never 'trainable' (they update via forward).
     """
 
     def false_like(tree):
@@ -109,7 +112,8 @@ def trainable_mask(params, fine_tune=False):
     }
     out = {"resnet": mask}
     if "embed" in params:
-        out["embed"] = true_like(params["embed"])
+        out["embed"] = (true_like(params["embed"]) if head
+                        else false_like(params["embed"]))
     for k in params:
         if k not in out:
             out[k] = false_like(params[k])

@@ -1,0 +1,308 @@
+"""Baseline LSTM captioner: train / evaluate drivers.
+
+Mirrors the reference driver semantics (reference:
+models/baseline.py:114-374) on a TPU-native execution model: one jitted
+SPMD train step over a (data, model) mesh, host input pipeline with
+device prefetch, functional state, per-epoch reference-style checkpoints
+and stdout format.
+
+Faithfully reproduced quirks (these matter for parity):
+ - loss targets are the FULL caption including <start> at t=0, with
+   ignore_index=<pad> (baseline.py:224-225, 194-195)
+ - the encoder runs its (frozen) BN in train mode during training
+   (encoder.train(), baseline.py:197-198) and eval mode in evaluate
+ - the encoder's embed Linear only receives optimizer updates when
+   --fine_tune_encoder is set (baseline.py:158-163: without it there is
+   no encoder optimizer at all, so the head stays at init)
+ - eval loss uses a fresh CrossEntropyLoss WITHOUT ignore_index at
+   batch size 1 (baseline.py:304-341): per-sample mean over the
+   sample's own (unpadded) positions
+ - eval references duplicate the cleaned caption once per original
+   token position (baseline.py:345-350)
+"""
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..checkpoint import load_checkpoint, save_checkpoint, unpack_checkpoint
+from ..data.dataset import COCODataset
+from ..data.pipeline import DataLoader, device_prefetch
+from ..metric import AccumulatingMetric, get_eval_score
+from ..models.baseline import (
+    BaselineDecoderParams, baseline_decoder_forward, init_baseline_decoder,
+    load_pretrained_embeddings)
+from ..models.encoder import encoder_forward, init_encoder, trainable_mask
+from ..parallel.mesh import make_mesh, shard_batch
+from ..training.common import (
+    cross_entropy, make_optimizer, merge, partition)
+from ..vocabulary import END_TOKEN, PAD_TOKEN, START_TOKEN
+
+
+def _decoder_trainable_mask(decoder_params, fine_tune_embedding):
+    mask = jax.tree_util.tree_map(lambda _: True, decoder_params)
+    if not fine_tune_embedding:
+        mask["embedding"] = False
+    return mask
+
+
+def build_baseline(args, vocab, rng):
+    """Init encoder+decoder param trees per CLI args."""
+    params = BaselineDecoderParams()
+    params.embed_size = args.embed_size
+    params.hidden_size = args.decoder_dim
+    params.vocab_size = len(vocab)
+
+    enc_key, dec_key = jax.random.split(rng)
+    encoder = init_encoder(enc_key, args.embed_size)
+    decoder = init_baseline_decoder(dec_key, params)
+    if args.use_glove:
+        from ..data.embed import load_glove_vectors
+
+        decoder = load_pretrained_embeddings(decoder, load_glove_vectors())
+    return encoder, decoder
+
+
+def make_train_step(pad_idx, mask, tx):
+    """Build the jitted SPMD train step.
+
+    mask: bool pytree over {'encoder','decoder'} marking trainable leaves.
+    Frozen leaves are partitioned out of the differentiated argument so
+    XLA never emits the ResNet backward when the encoder is frozen.
+    """
+
+    def step(trainable, frozen, opt_state, imgs, captions):
+        def loss_fn(trainable):
+            full = merge(trainable, frozen)
+            feats, new_enc = encoder_forward(
+                full["encoder"], imgs, train=True)
+            scores = baseline_decoder_forward(
+                full["decoder"], feats, captions)
+            loss = cross_entropy(
+                scores.astype(jnp.float32), captions,
+                ignore_index=pad_idx)
+            return loss, new_enc
+
+        (loss, new_enc), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(trainable)
+        updates, opt_state = tx.update(grads, opt_state, trainable)
+        trainable = optax.apply_updates(trainable, updates)
+        # Thread updated BN running stats (always in the frozen
+        # partition) back into the state.
+        _, new_frozen_enc = partition(new_enc, mask["encoder"])
+        frozen = dict(frozen, encoder=new_frozen_enc)
+        return trainable, frozen, opt_state, loss
+
+    return step
+
+
+def _labels(trainable):
+    """Label tree for multi_transform: top-level module name per leaf."""
+    return {
+        k: jax.tree_util.tree_map(lambda _: k, v)
+        for k, v in trainable.items()
+    }
+
+
+def make_optimizer_for(trainable, args):
+    tx = optax.multi_transform(
+        {
+            "encoder": make_optimizer(args.encoder_lr, args.grad_clip),
+            "decoder": make_optimizer(args.decoder_lr, args.grad_clip),
+        },
+        _labels(trainable))
+    return tx
+
+
+def train(args, mesh=None):
+    """Train the baseline model (reference: models/baseline.py:114-264)."""
+    dataset = COCODataset("train", caption_max_len=args.max_caption_length)
+    vocab = dataset.vocab
+    pad_idx = vocab(PAD_TOKEN)
+
+    loader = DataLoader(
+        dataset, batch_size=args.batch_size, shuffle=True,
+        num_workers=args.workers, pad_idx=pad_idx, drop_last=True)
+
+    if mesh is None:
+        n_data = 1
+        for d in range(len(jax.devices()), 0, -1):
+            if args.batch_size % d == 0:
+                n_data = d
+                break
+        mesh = make_mesh(n_data=n_data, n_model=1)
+
+    rng = jax.random.PRNGKey(0)
+    if args.checkpoint is None:
+        encoder, decoder = build_baseline(args, vocab, rng)
+        start_epoch = 0
+        metrics = {}
+        enc_opt_state = None
+        dec_opt_state = None
+    else:
+        chkpt = load_checkpoint(args)
+        (start_epoch, encoder, decoder, enc_opt_state, dec_opt_state,
+         metrics) = unpack_checkpoint(chkpt)
+        encoder = jax.tree_util.tree_map(jnp.asarray, encoder)
+        decoder = jax.tree_util.tree_map(jnp.asarray, decoder)
+        start_epoch += 1
+
+    mask = {
+        "encoder": trainable_mask(
+            encoder, fine_tune=False, head=args.fine_tune_encoder),
+        "decoder": _decoder_trainable_mask(
+            decoder, args.fine_tune_embedding),
+    }
+    params = {"encoder": encoder, "decoder": decoder}
+    trainable, frozen = partition(params, mask)
+    tx = make_optimizer_for(trainable, args)
+    # The checkpoint stores the combined multi_transform state under
+    # 'decoder_optimizer' ('encoder_optimizer' mirrors the reference's
+    # None when not fine-tuning).
+    if dec_opt_state is not None:
+        opt_state = jax.tree_util.tree_map(jnp.asarray, dec_opt_state)
+    else:
+        opt_state = tx.init(trainable)
+
+    step_fn = jax.jit(make_train_step(pad_idx, mask, tx))
+
+    train_start = time.time()
+    num_batches = len(loader)
+    epoch_losses = metrics.get("epoch_losses", [])
+    with mesh:
+        for epoch in range(start_epoch, args.epochs):
+            batch_losses = []
+            accum_loss = AccumulatingMetric()
+            accum_time = AccumulatingMetric()
+            start = time.time()
+
+            from ..parallel.mesh import batch_sharding
+
+            batches = device_prefetch(
+                iter(loader), size=2,
+                sharding=lambda x: batch_sharding(mesh, x.ndim))
+            for batch_idx, batch in enumerate(batches):
+                trainable, frozen, opt_state, loss = step_fn(
+                    trainable, frozen, opt_state,
+                    batch["imgs"], batch["captions"])
+
+                loss_val = float(loss)
+                batch_losses.append(loss_val)
+                accum_loss.update(loss_val)
+                accum_time.update(time.time() - start)
+                if batch_idx % args.print_freq == 0:
+                    print(
+                        "Epoch {}/{}, Batch {}/{}, Loss {:.4f}, "
+                        "Time: {:.4f}".format(
+                            epoch + 1, args.epochs, batch_idx + 1,
+                            num_batches, accum_loss.avg(), accum_time.val))
+                start = time.time()
+
+            epoch_losses.append(batch_losses)
+            metrics = {"epoch_losses": epoch_losses}
+            full = merge(trainable, frozen)
+            save_checkpoint(
+                args, epoch, full["encoder"], full["decoder"],
+                None, opt_state, metrics)
+
+    train_time = time.time() - train_start
+    print("Model {} finished training for {} epochs in {:.4f} seconds."
+          .format(args.model_name, args.epochs, train_time))
+    return merge(trainable, frozen)
+
+
+# ---------------------------------------------------------------------------
+# Evaluation
+# ---------------------------------------------------------------------------
+
+def make_eval_step():
+    @jax.jit
+    def step(encoder, decoder, imgs, captions, lengths):
+        feats, _ = encoder_forward(encoder, imgs, train=False)
+        scores = baseline_decoder_forward(decoder, feats, captions)
+        scores = scores.astype(jnp.float32)
+        # Per-sample CE over the sample's own length (incl. <start> and
+        # <end>), reproducing batch-1 CrossEntropyLoss without
+        # ignore_index (baseline.py:304-341).
+        logprobs = jax.nn.log_softmax(scores, axis=-1)
+        nll = -jnp.take_along_axis(
+            logprobs, captions[..., None], axis=-1)[..., 0]  # (B, T)
+        t_idx = jnp.arange(captions.shape[1])[None, :]
+        pos_mask = (t_idx < lengths[:, None]).astype(jnp.float32)
+        per_sample = jnp.sum(nll * pos_mask, axis=1) / lengths
+        preds = jnp.argmax(scores, axis=2)
+        return per_sample, preds
+
+    return step
+
+
+def evaluate(args, encoder, decoder, batch_size=64):
+    """Teacher-forced evaluation (reference: models/baseline.py:267-374).
+
+    Batched on device but numerically identical to the reference's
+    batch-1 loop; returns the metric dict with the per-sample loss list.
+    """
+    dataset = COCODataset("val", caption_max_len=args.max_caption_length)
+    vocab = dataset.vocab
+    special = {vocab(START_TOKEN), vocab(END_TOKEN), vocab(PAD_TOKEN)}
+
+    loader = DataLoader(
+        dataset, batch_size=batch_size, shuffle=True, num_workers=2,
+        pad_idx=vocab(PAD_TOKEN), drop_last=False)
+
+    encoder = jax.tree_util.tree_map(jnp.asarray, encoder)
+    decoder = jax.tree_util.tree_map(jnp.asarray, decoder)
+    step = make_eval_step()
+
+    references, hypotheses, losses = [], [], []
+    accum_loss = AccumulatingMetric()
+    num_batches = len(loader)
+    start_time = time.time()
+    print("Started validation...")
+    for batch_idx, batch in enumerate(iter(loader)):
+        imgs = batch["imgs"]
+        captions = batch["captions"]
+        lengths = batch["caption_lengths"]
+        valid = imgs.shape[0]
+        if valid < batch_size:  # pad final partial batch to fixed shape
+            reps = batch_size - valid
+            imgs = np.concatenate([imgs, np.repeat(
+                imgs[-1:], reps, axis=0)])
+            captions = np.concatenate([captions, np.repeat(
+                captions[-1:], reps, axis=0)])
+            lengths = np.concatenate([lengths, np.repeat(
+                lengths[-1:], reps)])
+
+        per_sample, preds = step(
+            encoder, decoder, imgs, captions,
+            lengths.astype(np.float32))
+        per_sample = np.asarray(per_sample)[:valid]
+        preds = np.asarray(preds)[:valid]
+
+        for j in range(valid):
+            loss_val = float(per_sample[j])
+            losses.append(loss_val)
+            accum_loss.update(loss_val)
+
+            cap = batch["captions"][j][: batch["caption_lengths"][j]]
+            cleaned = [int(w) for w in cap if int(w) not in special]
+            # Reference duplicates the cleaned caption once per token
+            # position (baseline.py:345-350).
+            references.append([cleaned] * len(cap))
+            pred = preds[j][: batch["caption_lengths"][j]]
+            hypotheses.append(
+                [int(w) for w in pred if int(w) not in special])
+
+        assert len(hypotheses) == len(references)
+        if batch_idx % args.print_freq == 0:
+            print("Batch {}/{}, Loss {:.4f}".format(
+                batch_idx + 1, num_batches, accum_loss.avg()))
+
+    metrics = get_eval_score(references, hypotheses)
+    metrics["losses"] = losses
+    print("Checkpoint {} finished evaluation in {:.4f} seconds.".format(
+        getattr(args, "checkpoint", None), time.time() - start_time))
+    return metrics

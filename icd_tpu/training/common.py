@@ -1,0 +1,90 @@
+"""Shared training machinery: losses, optimizers, param partitioning.
+
+Numerical conventions follow the reference exactly:
+ - cross-entropy = torch ``nn.CrossEntropyLoss`` (mean over counted
+   positions); the baseline trains with ``ignore_index=<pad>``
+   (models/baseline.py:194-195) while the attention driver counts every
+   position of the uniformly-padded decode window
+   (models/attention.py:399-411)
+ - gradient clipping is elementwise value clamping to +/-grad_clip
+   before the Adam step (train_utils.py:2-12)
+ - Adam uses torch defaults (b1=0.9, b2=0.999, eps=1e-8).
+
+Frozen parameters are *partitioned out* of the differentiated argument
+instead of masked to zero, so XLA never builds the ResNet-101 backward
+pass when the encoder is frozen — the common case.
+"""
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+# ---------------------------------------------------------------------------
+# Pytree partition/merge by boolean mask
+# ---------------------------------------------------------------------------
+
+def partition(tree, mask):
+    """Split a pytree into (trainable, frozen) by a same-shaped bool mask.
+
+    Non-selected positions become None, which JAX treats as an *empty*
+    subtree — so jax.grad over the trainable partition never touches
+    (or builds backward for) the frozen leaves.
+    """
+    trainable = jax.tree_util.tree_map(
+        lambda x, m: x if m else None, tree, mask)
+    frozen = jax.tree_util.tree_map(
+        lambda x, m: None if m else x, tree, mask)
+    return trainable, frozen
+
+
+def merge(trainable, frozen):
+    """Inverse of partition (equinox-style combine)."""
+    return jax.tree_util.tree_map(
+        lambda a, b: b if a is None else a, trainable, frozen,
+        is_leaf=lambda x: x is None)
+
+
+# ---------------------------------------------------------------------------
+# Losses
+# ---------------------------------------------------------------------------
+
+def cross_entropy(logits, targets, ignore_index=None):
+    """torch CrossEntropyLoss semantics over flattened positions.
+
+    logits: (..., V); targets: (...) int. Mean over positions, skipping
+    ignore_index positions when given.
+    """
+    v = logits.shape[-1]
+    logits = logits.reshape(-1, v)
+    targets = targets.reshape(-1)
+    logprobs = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(
+        logprobs, targets[:, None].astype(jnp.int32), axis=-1)[:, 0]
+    if ignore_index is None:
+        return jnp.mean(nll)
+    mask = (targets != ignore_index).astype(nll.dtype)
+    return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+def doubly_stochastic_regularizer(attention_weights, alpha_c):
+    """((alpha_c - sum_t alpha)^2).mean() (reference: attention.py:413-414)."""
+    return jnp.mean(
+        (alpha_c - jnp.sum(attention_weights, axis=1)) ** 2)
+
+
+# ---------------------------------------------------------------------------
+# Optimizer
+# ---------------------------------------------------------------------------
+
+def clip_value(max_delta):
+    """Elementwise clamp to [-max_delta, +max_delta] (train_utils.py:2-12)."""
+    return optax.clip(max_delta)
+
+
+def make_optimizer(lr, grad_clip=None):
+    """Adam with torch defaults; optional pre-step value clipping."""
+    adam = optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
+    if grad_clip is None:
+        return adam
+    return optax.chain(clip_value(grad_clip), adam)
