@@ -1,0 +1,197 @@
+"""Bahdanau soft-attention LSTM decoder (reference: models/attention.py:18-284).
+
+TPU-native design notes:
+ - the per-timestep Python loop with shrinking ``batch_size_t``
+   (attention.py:260-265) becomes one full-batch ``lax.scan`` with
+   length masking — mathematically identical because the reference's
+   collate computes caption_lengths *after* padding, making decode
+   lengths uniform per batch (attention.py:311-313), and because
+   predictions/alphas at masked steps are zeros exactly like the
+   reference's preallocated zero tensors (attention.py:252-257)
+ - the encoder-side attention projection enc_att(encoder_out) is
+   invariant across timesteps, so it is computed once before the scan
+   instead of inside every step as the reference does (attention.py:55)
+ - all per-step ops are fused by XLA into a single scan body: two gate
+   matmuls (MXU), attention score matmul, softmax over the 196-pixel
+   grid, gated context, and the vocab projection.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from ..vocabulary import Vocabulary
+from .lstm import init_lstm, lstm_cell
+
+
+class AttentionDecoderParams:
+    """Hyperparameters (reference: models/attention.py:64-70)."""
+
+    attention_dim = 512
+    decoder_dim = 512
+    embed_size = 512  # Use 300 if glove and 768 if BERT.
+    dropout = 0.5
+    use_bert = False
+    vocab = None  # Must override.
+
+
+ENCODER_DIM = 2048  # reference: attention.py:87 'Set in stone'.
+
+
+def _linear(key, fan_in, fan_out, dtype=jnp.float32):
+    import math
+
+    bound = 1.0 / math.sqrt(fan_in)
+    wkey, bkey = jax.random.split(key)
+    return {
+        "w": jax.random.uniform(wkey, (fan_in, fan_out), dtype,
+                                -bound, bound),
+        "b": jax.random.uniform(bkey, (fan_out,), dtype, -bound, bound),
+    }
+
+
+def init_attention_decoder(key, params, encoder_dim=ENCODER_DIM,
+                           dtype=jnp.float32):
+    assert isinstance(params, AttentionDecoderParams)
+    assert isinstance(params.vocab, Vocabulary) or params.vocab is not None
+
+    vocab_size = len(params.vocab)
+    a, d, e = params.attention_dim, params.decoder_dim, params.embed_size
+    keys = jax.random.split(key, 9)
+
+    fc_w = jax.random.uniform(keys[0], (d, vocab_size), dtype, -0.1, 0.1)
+    embedding = jax.random.uniform(
+        keys[1], (vocab_size, e), dtype, -0.1, 0.1)
+
+    return {
+        "attention": {
+            "enc_att": _linear(keys[2], encoder_dim, a, dtype),
+            "dec_att": _linear(keys[3], d, a, dtype),
+            "full_att": _linear(keys[4], a, 1, dtype),
+        },
+        "lstm": init_lstm(keys[5], e + encoder_dim, d, dtype),
+        "h_lin": _linear(keys[6], encoder_dim, d, dtype),
+        "c_lin": _linear(keys[7], encoder_dim, d, dtype),
+        "f_beta": _linear(keys[8], d, encoder_dim, dtype),
+        # fc: uniform(-0.1, 0.1) weight, zero bias (attention.py:120-121).
+        "fc": {"w": fc_w, "b": jnp.zeros((vocab_size,), dtype)},
+        "embedding": embedding,
+    }
+
+
+def load_pretrained_embeddings(decoder_params, embeddings):
+    """Swap in a pretrained (GloVe) table (attention.py:128-136)."""
+    return dict(decoder_params, embedding=jnp.asarray(embeddings))
+
+
+def soft_attention(att_params, encoder_out, h, att_enc=None):
+    """Additive attention over pixels (reference: attention.py:43-61).
+
+    Args:
+        encoder_out: (B, P, D) pixel features.
+        h: (B, H) decoder hidden state.
+        att_enc: optional precomputed enc_att(encoder_out) (B, P, A).
+
+    Returns:
+        (weighted encoding (B, D), attention weights (B, P)).
+    """
+    if att_enc is None:
+        att_enc = (encoder_out @ att_params["enc_att"]["w"]
+                   + att_params["enc_att"]["b"])
+    att_dec = h @ att_params["dec_att"]["w"] + att_params["dec_att"]["b"]
+    act = jax.nn.relu(att_enc + att_dec[:, None, :])
+    scores = (act @ att_params["full_att"]["w"]
+              + att_params["full_att"]["b"])[..., 0]  # (B, P)
+    alpha = jax.nn.softmax(scores, axis=1)
+    weighted = jnp.sum(encoder_out * alpha[..., None], axis=1)
+    return weighted, alpha
+
+
+def init_hidden_state(decoder_params, encoder_out):
+    """h, c from the mean pixel feature (reference: attention.py:151-164)."""
+    mean_enc = jnp.mean(encoder_out, axis=1)
+    h = mean_enc @ decoder_params["h_lin"]["w"] + decoder_params["h_lin"]["b"]
+    c = mean_enc @ decoder_params["c_lin"]["w"] + decoder_params["c_lin"]["b"]
+    return h, c
+
+
+def decode_step(decoder_params, encoder_out, att_enc, emb_t, h, c,
+                dropout_rng=None, dropout_rate=0.0):
+    """One decode step: attention -> gate -> LSTMCell -> fc.
+
+    (reference: attention.py:260-281 loop body, and the identical beam
+    search step gen_captions.py:64-74.)
+    """
+    weighted, alpha = soft_attention(
+        decoder_params["attention"], encoder_out, h, att_enc)
+    gate = jax.nn.sigmoid(
+        h @ decoder_params["f_beta"]["w"] + decoder_params["f_beta"]["b"])
+    weighted = gate * weighted
+    x = jnp.concatenate([emb_t, weighted], axis=-1)
+    h, c = lstm_cell(decoder_params["lstm"], x, h, c)
+    out = h
+    if dropout_rng is not None and dropout_rate > 0.0:
+        keep = jax.random.bernoulli(
+            dropout_rng, 1.0 - dropout_rate, out.shape)
+        out = jnp.where(keep, out / (1.0 - dropout_rate), 0.0)
+    preds = out @ decoder_params["fc"]["w"] + decoder_params["fc"]["b"]
+    return h, c, preds, alpha
+
+
+def attention_decoder_forward(decoder_params, encoder_out, captions,
+                              decode_lengths, rng=None, dropout_rate=0.0,
+                              embeddings=None):
+    """Teacher-forced forward over the whole batch.
+
+    Args:
+        encoder_out: (B, gh, gw, D) or (B, P, D) encoder grid.
+        captions: (B, T) token ids.
+        decode_lengths: (B,) int, caption_lengths - 1
+            (attention.py:236-240).
+        rng: dropout PRNG key (None disables dropout = eval mode).
+        embeddings: optional precomputed (B, T, E) embeddings (the BERT
+            path, attention.py:242-247); defaults to the learned table.
+
+    Returns:
+        (predictions (B, maxT, V), attention_weights (B, maxT, P)) with
+        zeros at masked timesteps, exactly like the reference's
+        preallocated tensors (attention.py:252-257).
+    """
+    if encoder_out.ndim == 4:
+        b = encoder_out.shape[0]
+        encoder_out = encoder_out.reshape(b, -1, encoder_out.shape[-1])
+    att = decoder_params["attention"]
+    att_enc = encoder_out @ att["enc_att"]["w"] + att["enc_att"]["b"]
+
+    if embeddings is None:
+        embeddings = decoder_params["embedding"][captions]  # (B, T, E)
+    max_decode = captions.shape[1] - 1
+
+    h, c = init_hidden_state(decoder_params, encoder_out)
+
+    emb_tm = jnp.swapaxes(embeddings[:, :max_decode], 0, 1)  # (T-1, B, E)
+    if rng is not None:
+        step_rngs = jax.random.split(rng, max_decode)
+    else:
+        step_rngs = jnp.zeros((max_decode, 2), jnp.uint32)
+
+    t_steps = jnp.arange(max_decode)
+
+    def body(carry, xs):
+        h, c = carry
+        emb_t, step_rng, t = xs
+        drop = step_rng if rng is not None else None
+        new_h, new_c, preds, alpha = decode_step(
+            decoder_params, encoder_out, att_enc, emb_t, h, c,
+            dropout_rng=drop, dropout_rate=dropout_rate)
+        active = (t < decode_lengths)[:, None]
+        # Masked rows keep their previous state (the reference never
+        # advances h/c for retired rows, attention.py:262-265).
+        h = jnp.where(active, new_h, h)
+        c = jnp.where(active, new_c, c)
+        preds = jnp.where(active, preds, 0.0)
+        alpha = jnp.where(active, alpha, 0.0)
+        return (h, c), (preds, alpha)
+
+    (_, _), (preds, alphas) = jax.lax.scan(
+        body, (h, c), (emb_tm, step_rngs, t_steps))
+    return jnp.swapaxes(preds, 0, 1), jnp.swapaxes(alphas, 0, 1)

@@ -1,0 +1,313 @@
+"""Attention captioner: train / evaluate drivers.
+
+Mirrors the reference driver semantics (reference:
+models/attention.py:287-567) with the same TPU execution model as the
+baseline driver. Faithfully reproduced quirks:
+ - caption_lengths are computed after padding, so decode lengths are
+   uniform per batch (attention.py:311-313) and the train CE (no
+   ignore_index) averages over every position of the decode window,
+   pads included (attention.py:399-411)
+ - doubly-stochastic attention regularizer added with args.alpha_c in
+   train (attention.py:413-414) and alpha_c=1 in eval
+   (attention.py:529-531)
+ - eval hypotheses truncate to decode_length before stripping special
+   tokens (attention.py:543-553); references are built from targets
+   (captions[1:]) duplicated per target position (attention.py:535-541)
+"""
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..checkpoint import load_checkpoint, save_checkpoint, unpack_checkpoint
+from ..data.dataset import COCODataset
+from ..data.pipeline import DataLoader, device_prefetch
+from ..metric import AccumulatingMetric, get_eval_score
+from ..models.attention import (
+    AttentionDecoderParams, attention_decoder_forward,
+    init_attention_decoder, load_pretrained_embeddings)
+from ..models.encoder import (
+    encoder_attention_forward, init_encoder_attention, trainable_mask)
+from ..parallel.mesh import batch_sharding, make_mesh
+from ..training.baseline import make_optimizer_for
+from ..training.common import (
+    cross_entropy, doubly_stochastic_regularizer, merge, partition)
+from ..vocabulary import END_TOKEN, PAD_TOKEN, START_TOKEN
+
+
+def build_attention(args, vocab, rng):
+    params = AttentionDecoderParams()
+    params.attention_dim = args.attention_dim
+    params.decoder_dim = args.decoder_dim
+    params.embed_size = args.embed_size
+    params.dropout = args.decoder_dropout
+    params.vocab = vocab
+    params.use_bert = args.use_bert
+
+    enc_key, dec_key = jax.random.split(rng)
+    encoder = init_encoder_attention(enc_key)
+    decoder = init_attention_decoder(dec_key, params)
+    if args.use_glove:
+        from ..data.embed import load_glove_vectors
+
+        decoder = load_pretrained_embeddings(decoder, load_glove_vectors())
+    return encoder, decoder
+
+
+def _decoder_trainable_mask(decoder_params, fine_tune_embedding):
+    mask = jax.tree_util.tree_map(lambda _: True, decoder_params)
+    if not fine_tune_embedding:
+        mask["embedding"] = False
+    return mask
+
+
+def make_train_step(mask, tx, alpha_c, dropout_rate, bert_fn=None):
+    """Jitted SPMD train step for the attention model.
+
+    bert_fn: optional host-precomputed embeddings are passed through the
+    batch instead; the step just consumes batch['embeddings'] when given.
+    """
+
+    def step(trainable, frozen, opt_state, rng, imgs, captions,
+             decode_lengths, embeddings=None):
+        def loss_fn(trainable):
+            full = merge(trainable, frozen)
+            grid, new_enc = encoder_attention_forward(
+                full["encoder"], imgs, train=True)
+            scores, alphas = attention_decoder_forward(
+                full["decoder"], grid, captions, decode_lengths,
+                rng=rng, dropout_rate=dropout_rate,
+                embeddings=embeddings)
+            targets = captions[:, 1:]
+            # pack_padded over uniform decode lengths == masked mean.
+            t_idx = jnp.arange(targets.shape[1])[None, :]
+            included = t_idx < decode_lengths[:, None]
+            logprobs = jax.nn.log_softmax(
+                scores.astype(jnp.float32), axis=-1)
+            nll = -jnp.take_along_axis(
+                logprobs, targets[..., None], axis=-1)[..., 0]
+            denom = jnp.maximum(jnp.sum(included), 1)
+            loss = jnp.sum(jnp.where(included, nll, 0.0)) / denom
+            loss = loss + doubly_stochastic_regularizer(
+                alphas.astype(jnp.float32), alpha_c)
+            return loss, new_enc
+
+        (loss, new_enc), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(trainable)
+        updates, opt_state = tx.update(grads, opt_state, trainable)
+        trainable = optax.apply_updates(trainable, updates)
+        _, new_frozen_enc = partition(new_enc, mask["encoder"])
+        frozen = dict(frozen, encoder=new_frozen_enc)
+        return trainable, frozen, opt_state, loss
+
+    return step
+
+
+def train(args, mesh=None):
+    """Train the attention model (reference: models/attention.py:287-452)."""
+    dataset = COCODataset("train", caption_max_len=args.max_caption_length)
+    vocab = dataset.vocab
+    pad_idx = vocab(PAD_TOKEN)
+
+    loader = DataLoader(
+        dataset, batch_size=args.batch_size, shuffle=True,
+        num_workers=args.workers, pad_idx=pad_idx, drop_last=True)
+
+    if mesh is None:
+        n_data = 1
+        for d in range(len(jax.devices()), 0, -1):
+            if args.batch_size % d == 0:
+                n_data = d
+                break
+        mesh = make_mesh(n_data=n_data, n_model=1)
+
+    rng = jax.random.PRNGKey(0)
+    if args.checkpoint is None:
+        encoder, decoder = build_attention(args, vocab, rng)
+        start_epoch = 0
+        metrics = {}
+        dec_opt_state = None
+    else:
+        chkpt = load_checkpoint(args)
+        (start_epoch, encoder, decoder, _enc_opt, dec_opt_state,
+         metrics) = unpack_checkpoint(chkpt)
+        encoder = jax.tree_util.tree_map(jnp.asarray, encoder)
+        decoder = jax.tree_util.tree_map(jnp.asarray, decoder)
+        start_epoch += 1
+
+    bert_embedder = None
+    if args.use_bert:
+        from ..models.bert_embed import BertCaptionEmbedder
+
+        bert_embedder = BertCaptionEmbedder(vocab)
+
+    mask = {
+        # The attention encoder has no head; with the backbone frozen the
+        # reference's encoder optimizer would be empty (attention.py:317).
+        "encoder": trainable_mask(encoder, fine_tune=False, head=False),
+        "decoder": _decoder_trainable_mask(
+            decoder, args.fine_tune_embedding),
+    }
+    if args.use_bert:
+        # BERT embeddings replace the table entirely; don't train it
+        # (the reference's table still exists but is unused in forward).
+        mask["decoder"]["embedding"] = False
+
+    params = {"encoder": encoder, "decoder": decoder}
+    trainable, frozen = partition(params, mask)
+    tx = make_optimizer_for(trainable, args)
+    if dec_opt_state is not None:
+        opt_state = jax.tree_util.tree_map(jnp.asarray, dec_opt_state)
+    else:
+        opt_state = tx.init(trainable)
+
+    step_fn = jax.jit(make_train_step(
+        mask, tx, args.alpha_c, args.decoder_dropout))
+
+    num_batches = len(loader)
+    epoch_losses = metrics.get("epoch_losses", [])
+    step_rng = jax.random.PRNGKey(1)
+    with mesh:
+        for epoch in range(start_epoch, args.epochs):
+            batch_losses = []
+            accum_loss = AccumulatingMetric()
+            accum_time = AccumulatingMetric()
+            start = time.time()
+
+            batches = device_prefetch(
+                iter(loader), size=2,
+                sharding=lambda x: batch_sharding(mesh, x.ndim))
+            for batch_idx, batch in enumerate(batches):
+                step_rng, rng_t = jax.random.split(step_rng)
+                # Reference quirk: lengths measured after padding ->
+                # uniform decode window covering pads
+                # (attention.py:311-313).
+                decode_lengths = batch["padded_lengths"] - 1
+                embeddings = None
+                if bert_embedder is not None:
+                    embeddings = jnp.asarray(bert_embedder(
+                        np.asarray(batch["captions"])))
+                trainable, frozen, opt_state, loss = step_fn(
+                    trainable, frozen, opt_state, rng_t,
+                    batch["imgs"], batch["captions"], decode_lengths,
+                    embeddings)
+
+                loss_val = float(loss)
+                batch_losses.append(loss_val)
+                accum_loss.update(loss_val)
+                accum_time.update(time.time() - start)
+                if batch_idx % args.print_freq == 0:
+                    print(
+                        "Epoch {}/{}, Batch {}/{}, Loss {:.4f}, "
+                        "Time: {:.4f}".format(
+                            epoch + 1, args.epochs, batch_idx + 1,
+                            num_batches, accum_loss.avg(), accum_time.val))
+                start = time.time()
+
+            epoch_losses.append(batch_losses)
+            metrics = {"epoch_losses": epoch_losses}
+            full = merge(trainable, frozen)
+            save_checkpoint(
+                args, epoch, full["encoder"], full["decoder"],
+                None, opt_state, metrics)
+
+    print("Model {} finished training for {} epochs.".format(
+        args.model_name, args.epochs))
+    return merge(trainable, frozen)
+
+
+# ---------------------------------------------------------------------------
+# Evaluation
+# ---------------------------------------------------------------------------
+
+def make_eval_step():
+    @jax.jit
+    def step(encoder, decoder, imgs, captions, decode_lengths):
+        grid, _ = encoder_attention_forward(encoder, imgs, train=False)
+        scores, alphas = attention_decoder_forward(
+            decoder, grid, captions, decode_lengths)
+        scores = scores.astype(jnp.float32)
+        targets = captions[:, 1:]
+        logprobs = jax.nn.log_softmax(scores, axis=-1)
+        nll = -jnp.take_along_axis(
+            logprobs, targets[..., None], axis=-1)[..., 0]
+        t_idx = jnp.arange(targets.shape[1])[None, :]
+        included = (t_idx < decode_lengths[:, None]).astype(jnp.float32)
+        ce = jnp.sum(nll * included, axis=1) / jnp.maximum(
+            decode_lengths.astype(jnp.float32), 1.0)
+        # Per-sample regularizer with alpha_c = 1 (attention.py:529-531).
+        reg = jnp.mean(
+            (1.0 - jnp.sum(alphas.astype(jnp.float32), axis=1)) ** 2,
+            axis=-1)
+        preds = jnp.argmax(scores, axis=2)
+        return ce + reg, preds
+
+    return step
+
+
+def evaluate(args, encoder, decoder, batch_size=64):
+    """Teacher-forced eval (reference: models/attention.py:454-567),
+    batched on device, numerically equal to the reference batch-1 loop."""
+    dataset = COCODataset("val", caption_max_len=args.max_caption_length)
+    vocab = dataset.vocab
+    special = {vocab(START_TOKEN), vocab(END_TOKEN), vocab(PAD_TOKEN)}
+
+    loader = DataLoader(
+        dataset, batch_size=batch_size, shuffle=True, num_workers=2,
+        pad_idx=vocab(PAD_TOKEN), drop_last=False)
+
+    encoder = jax.tree_util.tree_map(jnp.asarray, encoder)
+    decoder = jax.tree_util.tree_map(jnp.asarray, decoder)
+    step = make_eval_step()
+
+    references, hypotheses, losses = [], [], []
+    accum_loss = AccumulatingMetric()
+    num_batches = len(loader)
+    start_time = time.time()
+    print("Started validation...")
+    for batch_idx, batch in enumerate(iter(loader)):
+        imgs = batch["imgs"]
+        captions = batch["captions"]
+        # Batch-1 semantics: each sample's decode length is its own
+        # caption length - 1 (no padding exists at batch 1).
+        lengths = batch["caption_lengths"]
+        valid = imgs.shape[0]
+        if valid < batch_size:
+            reps = batch_size - valid
+            imgs = np.concatenate([imgs, np.repeat(imgs[-1:], reps, 0)])
+            captions = np.concatenate(
+                [captions, np.repeat(captions[-1:], reps, 0)])
+            lengths = np.concatenate([lengths, np.repeat(lengths[-1:], reps)])
+
+        per_sample, preds = step(
+            encoder, decoder, imgs, captions,
+            (lengths - 1).astype(np.int32))
+        per_sample = np.asarray(per_sample)[:valid]
+        preds = np.asarray(preds)[:valid]
+
+        for j in range(valid):
+            loss_val = float(per_sample[j])
+            losses.append(loss_val)
+            decode_len = int(batch["caption_lengths"][j]) - 1
+            accum_loss.update(loss_val, decode_len)
+
+            target = batch["captions"][j][1: 1 + decode_len]
+            cleaned = [int(w) for w in target if int(w) not in special]
+            references.append([cleaned] * len(target))
+            pred = preds[j][:decode_len]
+            hypotheses.append(
+                [int(w) for w in pred if int(w) not in special])
+
+        assert len(hypotheses) == len(references)
+        if batch_idx % args.print_freq == 0:
+            print("Batch {}/{}, Loss {:.4f}".format(
+                batch_idx + 1, num_batches, accum_loss.avg()))
+
+    metrics = get_eval_score(references, hypotheses)
+    metrics["losses"] = losses
+    print("Checkpoint {} finished evaluation in {:.4f} seconds.".format(
+        getattr(args, "checkpoint", None), time.time() - start_time))
+    return metrics

@@ -1,0 +1,72 @@
+"""End-to-end attention training/eval on the virtual mesh."""
+
+import functools
+import os
+
+import numpy as np
+import pytest
+
+import icd_tpu.models.attention as ma
+import icd_tpu.training.attention as ta
+from icd_tpu.checkpoint import load_checkpoint, unpack_checkpoint
+
+from helpers import SMALL_DIM, make_train_args, small_init_encoder_attention
+
+
+@pytest.fixture(autouse=True)
+def small_backbone(monkeypatch):
+    monkeypatch.setattr(
+        ta, "init_encoder_attention", small_init_encoder_attention)
+    monkeypatch.setattr(
+        ta, "init_attention_decoder",
+        functools.partial(ma.init_attention_decoder, encoder_dim=SMALL_DIM))
+
+
+def _args(**kw):
+    base = dict(model="attention", batch_size=4, epochs=1, embed_size=16,
+                decoder_dim=12, attention_dim=10, workers=0)
+    base.update(kw)
+    return make_train_args(**base)
+
+
+def test_train_and_checkpoint(use_coco_root, capsys):
+    args = _args(model_name="att_t")
+    ta.train(args)
+    out = capsys.readouterr().out
+    assert "Epoch 1/1, Batch 1/2, Loss " in out
+    assert "finished training for 1 epochs" in out
+
+    path = os.path.join(use_coco_root, "checkpoints", "att_t_0.ckpt")
+    assert os.path.exists(path)
+    chkpt = load_checkpoint(name="att_t_0.ckpt")
+    epoch, enc, dec, _, _, metrics = unpack_checkpoint(chkpt)
+    assert epoch == 0
+    assert "attention" in dec
+    assert all(np.isfinite(v) for v in metrics["epoch_losses"][0])
+
+    # Resume.
+    args2 = _args(model_name="att_t", epochs=2, checkpoint="att_t_0.ckpt")
+    ta.train(args2)
+    chkpt2 = load_checkpoint(name="att_t_1.ckpt")
+    assert len(chkpt2["metrics"]["epoch_losses"]) == 2
+
+
+def test_attention_loss_decreases(use_coco_root):
+    args = _args(model_name="att_overfit", batch_size=8, epochs=40,
+                 decoder_lr=1e-2, print_freq=100, decoder_dropout=0.0,
+                 fine_tune_embedding=True)
+    ta.train(args)
+    chkpt = load_checkpoint(name="att_overfit_39.ckpt")
+    losses = chkpt["metrics"]["epoch_losses"]
+    assert np.mean(losses[-1]) < np.mean(losses[0]) * 0.8
+
+
+def test_attention_evaluate(use_coco_root):
+    args = _args(model_name="att_e")
+    params = ta.train(args)
+    metrics = ta.evaluate(args, params["encoder"], params["decoder"],
+                          batch_size=4)
+    for key in ["Bleu_1", "Bleu_4", "ROUGE_L", "CIDEr", "losses"]:
+        assert key in metrics
+    assert len(metrics["losses"]) == 4
+    assert all(np.isfinite(v) for v in metrics["losses"])
