@@ -1,0 +1,129 @@
+"""BERT contextual caption embeddings (host-side).
+
+Reproduces the reference BERT path (reference: models/attention.py:96-100,
+166-215): captions are detokenized from vocab ids (special tokens appear
+as literal '<start>'/'<end>'/'<pad>' words), prefixed with '[CLS]',
+wordpiece-tokenized, run through bert-base-uncased in eval mode, and the
+final hidden layer is re-aligned to whole vocab words by **summing** the
+piece embeddings of each word.
+
+Two reference quirks preserved because parity depends on them:
+ - the '[CLS]' token is included in the aligned output, so row t holds
+   the contextual embedding of word t-1 (the reference's scanner appends
+   [CLS]'s embedding first, attention.py:190-196); since BERT is
+   bidirectional this leaks rightward context — it is why the reference's
+   bert_attention metrics are far above the other decoders
+ - alignment sums piece embeddings rather than averaging
+   (attention.py:205)
+
+This is string processing + a torch CPU forward, so it stays host-side
+(BERT never enters the TPU program); embeddings are batched (the
+reference loops captions one at a time) and memoized across epochs.
+"""
+
+import os
+
+import numpy as np
+
+BERT_DIM = 768
+
+
+def align_pieces_to_words(words, pieces, piece_embeddings):
+    """Sum piece embeddings per whitespace word.
+
+    Args:
+        words: list of str — the whitespace split, INCLUDING '[CLS]'.
+        pieces: list of str — wordpiece tokens, starting with '[CLS]'.
+        piece_embeddings: (len(pieces), D) array.
+
+    Returns:
+        (len(words), D) array.
+    """
+    out = []
+    j = 0
+    for word in words:
+        target = word.replace("#", "").lower()
+        acc = None
+        built = ""
+        while j < len(pieces):
+            piece = pieces[j]
+            emb = piece_embeddings[j]
+            j += 1
+            acc = emb if acc is None else acc + emb
+            built += piece.replace("#", "")
+            if built.lower() == target or piece == "[UNK]":
+                break
+        out.append(acc if acc is not None
+                   else np.zeros_like(piece_embeddings[0]))
+    return np.stack(out)
+
+
+class BertCaptionEmbedder:
+    """Callable: (B, T) vocab-id captions -> (B, T+1, D) aligned
+    embeddings (row 0 is [CLS], row t is word t-1; see module docstring).
+    """
+
+    def __init__(self, vocab, model=None, tokenizer=None, cache_size=50000):
+        self.vocab = vocab
+        self._cache = {}
+        self._cache_size = cache_size
+        if model is None or tokenizer is None:
+            model, tokenizer = _load_default_bert()
+        self.model = model
+        self.tokenizer = tokenizer
+        self.model.eval()
+
+    def _embed_texts(self, texts):
+        """Run BERT over a batch of '[CLS] ...' texts; returns per-text
+        (pieces, piece_embeddings)."""
+        import torch
+
+        piece_lists = [self.tokenizer.tokenize(t) for t in texts]
+        max_len = max(len(p) for p in piece_lists)
+        ids = np.zeros((len(texts), max_len), np.int64)
+        attn = np.zeros((len(texts), max_len), np.int64)
+        for i, pieces in enumerate(piece_lists):
+            tok_ids = self.tokenizer.convert_tokens_to_ids(pieces)
+            ids[i, : len(tok_ids)] = tok_ids
+            attn[i, : len(tok_ids)] = 1
+        with torch.no_grad():
+            out = self.model(
+                input_ids=torch.from_numpy(ids),
+                attention_mask=torch.from_numpy(attn))
+        hidden = out.last_hidden_state.numpy()  # final layer == layer 11
+        return [(pieces, hidden[i, : len(pieces)])
+                for i, pieces in enumerate(piece_lists)]
+
+    def __call__(self, captions):
+        """captions: (B, T) int array -> (B, T+1, D) float32."""
+        captions = np.asarray(captions)
+        keys = [tuple(int(t) for t in row) for row in captions]
+        missing = [k for k in dict.fromkeys(keys) if k not in self._cache]
+        if missing:
+            texts = ["[CLS] " + " ".join(self.vocab.i2w[t] for t in k)
+                     for k in missing]
+            for k, text, (pieces, embs) in zip(
+                    missing, texts, self._embed_texts(texts)):
+                words = text.split()
+                aligned = align_pieces_to_words(words, pieces, embs)
+                if len(self._cache) >= self._cache_size:
+                    self._cache.clear()
+                self._cache[k] = aligned.astype(np.float32)
+        return np.stack([self._cache[k] for k in keys])
+
+
+def _load_default_bert():
+    """bert-base-uncased from a local path (no-egress environments must
+    set BERT_MODEL_DIR); falls back to the hub name when reachable."""
+    from transformers import BertModel, BertTokenizer
+
+    source = os.environ.get("BERT_MODEL_DIR", "bert-base-uncased")
+    try:
+        model = BertModel.from_pretrained(source)
+        tokenizer = BertTokenizer.from_pretrained(source)
+        return model, tokenizer
+    except Exception as exc:
+        raise RuntimeError(
+            "bert-base-uncased unavailable (no network?). Set "
+            "BERT_MODEL_DIR to a local checkout, or pass model/tokenizer "
+            "to BertCaptionEmbedder explicitly.") from exc

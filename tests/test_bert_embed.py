@@ -1,0 +1,102 @@
+"""BERT embedding path: wordpiece alignment + embedder (offline tiny BERT)."""
+
+import numpy as np
+import pytest
+import torch
+
+from icd_tpu.models.bert_embed import BertCaptionEmbedder, align_pieces_to_words
+from icd_tpu.vocabulary import (
+    END_TOKEN, PAD_TOKEN, START_TOKEN, UNK_TOKEN, Vocabulary)
+
+WORDPIECES = [
+    "[PAD]", "[UNK]", "[CLS]", "[SEP]",
+    "a", "man", "rid", "##ing", "horse", "on", "the", "beach", ".",
+    "<", "start", "end", "pad", "unk", ">", "dog", "runs",
+]
+
+
+@pytest.fixture(scope="module")
+def tiny_bert(tmp_path_factory):
+    from transformers import BertConfig, BertModel, BertTokenizer
+
+    vocab_path = tmp_path_factory.mktemp("bertvocab") / "vocab.txt"
+    vocab_path.write_text("\n".join(WORDPIECES))
+    tokenizer = BertTokenizer(str(vocab_path), do_lower_case=True)
+    torch.manual_seed(0)
+    config = BertConfig(
+        vocab_size=len(WORDPIECES), hidden_size=16,
+        num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=32, max_position_embeddings=64)
+    model = BertModel(config).eval()
+    return model, tokenizer
+
+
+@pytest.fixture(scope="module")
+def caption_vocab():
+    v = Vocabulary()
+    v.add_word(PAD_TOKEN)
+    for w in ["a", "man", "riding", "horse", "on", "the", "beach", "."]:
+        v.add_word(w)
+    v.add_word(START_TOKEN)
+    v.add_word(END_TOKEN)
+    v.add_word(UNK_TOKEN)
+    return v
+
+
+def test_align_sums_pieces():
+    pieces = ["[CLS]", "a", "rid", "##ing", "horse"]
+    embs = np.arange(5, dtype=np.float32)[:, None] * np.ones((5, 3), np.float32)
+    words = ["[CLS]", "a", "riding", "horse"]
+    out = align_pieces_to_words(words, pieces, embs)
+    assert out.shape == (4, 3)
+    np.testing.assert_array_equal(out[0], embs[0])  # [CLS] kept as row 0
+    np.testing.assert_array_equal(out[2], embs[2] + embs[3])  # summed pieces
+    np.testing.assert_array_equal(out[3], embs[4])
+
+
+def test_embedder_shape_and_alignment(tiny_bert, caption_vocab):
+    model, tokenizer = tiny_bert
+    v = caption_vocab
+    captions = np.asarray([
+        [v("<start>"), v("a"), v("man"), v("riding"), v("<end>")],
+        [v("<start>"), v("the"), v("horse"), v("."), v("<end>")],
+    ], np.int32)
+    embedder = BertCaptionEmbedder(v, model=model, tokenizer=tokenizer)
+    out = embedder(captions)
+    # Reference layout: (B, T+1, D), row 0 = [CLS] (attention.py:190-196).
+    assert out.shape == (2, 6, 16)
+
+    # Manual expectation for caption 0: tokenize, forward, sum pieces.
+    text = "[CLS] <start> a man riding <end>"
+    pieces = tokenizer.tokenize(text)
+    ids = torch.tensor([tokenizer.convert_tokens_to_ids(pieces)])
+    with torch.no_grad():
+        hidden = model(input_ids=ids).last_hidden_state[0].numpy()
+    expected = align_pieces_to_words(text.split(), pieces, hidden)
+    np.testing.assert_allclose(out[0], expected, atol=1e-5)
+
+
+def test_embedder_cache(tiny_bert, caption_vocab):
+    model, tokenizer = tiny_bert
+    v = caption_vocab
+    captions = np.asarray([[v("<start>"), v("a"), v("<end>")]], np.int32)
+    embedder = BertCaptionEmbedder(v, model=model, tokenizer=tokenizer)
+    first = embedder(captions)
+    assert len(embedder._cache) == 1
+    second = embedder(captions)
+    np.testing.assert_array_equal(first, second)
+
+
+def test_batched_matches_single(tiny_bert, caption_vocab):
+    """Batched attention-masked forward == per-caption forward."""
+    model, tokenizer = tiny_bert
+    v = caption_vocab
+    caps = np.asarray([
+        [v("<start>"), v("a"), v("man"), v("riding"), v("<end>")],
+        [v("<start>"), v("beach"), v("."), v("<pad>"), v("<pad>")],
+    ], np.int32)
+    batched = BertCaptionEmbedder(v, model=model, tokenizer=tokenizer)(caps)
+    for i in range(2):
+        single = BertCaptionEmbedder(
+            v, model=model, tokenizer=tokenizer)(caps[i: i + 1])
+        np.testing.assert_allclose(batched[i], single[0], atol=1e-5)

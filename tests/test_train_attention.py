@@ -61,6 +61,36 @@ def test_attention_loss_decreases(use_coco_root):
     assert np.mean(losses[-1]) < np.mean(losses[0]) * 0.8
 
 
+def test_train_with_bert(use_coco_root, monkeypatch, tmp_path):
+    """--use_bert path end to end with an offline tiny BERT."""
+    import torch
+    from transformers import BertConfig, BertModel, BertTokenizer
+
+    import icd_tpu.models.bert_embed as be
+    from icd_tpu.vocabulary import load_vocab
+
+    vocab = load_vocab()
+    pieces = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "<", ">"]
+    pieces += sorted({w.strip("<>") for w in vocab.w2i})
+    (tmp_path / "vocab.txt").write_text("\n".join(pieces))
+    tokenizer = BertTokenizer(str(tmp_path / "vocab.txt"),
+                              do_lower_case=True)
+    torch.manual_seed(0)
+    config = BertConfig(vocab_size=len(pieces), hidden_size=16,
+                        num_hidden_layers=1, num_attention_heads=2,
+                        intermediate_size=16, max_position_embeddings=64)
+    model = BertModel(config).eval()
+    monkeypatch.setattr(be, "_load_default_bert",
+                        lambda: (model, tokenizer))
+
+    args = _args(model_name="att_bert", embed_size=16, use_bert=True,
+                 epochs=1)
+    ta.train(args)
+    chkpt = load_checkpoint(name="att_bert_0.ckpt")
+    assert all(np.isfinite(v)
+               for v in chkpt["metrics"]["epoch_losses"][0])
+
+
 def test_attention_evaluate(use_coco_root):
     args = _args(model_name="att_e")
     params = ta.train(args)
