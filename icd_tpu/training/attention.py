@@ -49,6 +49,11 @@ def build_attention(args, vocab, rng):
 
     enc_key, dec_key = jax.random.split(rng)
     encoder = init_encoder_attention(enc_key)
+    from .baseline import pretrained_resnet_or_none
+
+    pretrained = pretrained_resnet_or_none()
+    if pretrained is not None:
+        encoder = dict(encoder, resnet=pretrained)
     decoder = init_attention_decoder(dec_key, params)
     if args.use_glove:
         from ..data.embed import load_glove_vectors

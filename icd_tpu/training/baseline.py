@@ -49,6 +49,22 @@ def _decoder_trainable_mask(decoder_params, fine_tune_embedding):
     return mask
 
 
+def pretrained_resnet_or_none():
+    """Converted torchvision weights when models/resnet101.pth exists —
+    the file the reference expects (models/encoder.py:9-20)."""
+    import os
+
+    from ..pathconf import _root
+
+    path = os.path.join(_root(), "models", "resnet101.pth")
+    if os.path.exists(path):
+        from ..convert import load_resnet101_pth
+
+        print("Loading pretrained ResNet-101 from {}".format(path))
+        return load_resnet101_pth(path)
+    return None
+
+
 def build_baseline(args, vocab, rng):
     """Init encoder+decoder param trees per CLI args."""
     params = BaselineDecoderParams()
@@ -58,6 +74,9 @@ def build_baseline(args, vocab, rng):
 
     enc_key, dec_key = jax.random.split(rng)
     encoder = init_encoder(enc_key, args.embed_size)
+    pretrained = pretrained_resnet_or_none()
+    if pretrained is not None:
+        encoder = dict(encoder, resnet=pretrained)
     decoder = init_baseline_decoder(dec_key, params)
     if args.use_glove:
         from ..data.embed import load_glove_vectors
