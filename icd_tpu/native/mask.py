@@ -155,7 +155,10 @@ def area(rleObjs):
 
 
 def iou(dt, gt, pyiscrowd):
-    """IoU matrix (len(dt), len(gt)); crowd gt uses area(dt) denominator."""
+    """IoU matrix (len(dt), len(gt)); crowd gt uses area(dt) denominator.
+    Returns [] when either side is empty (upstream _mask.iou behavior)."""
+    if len(dt) == 0 or len(gt) == 0:
+        return []
     iscrowd = np.ascontiguousarray(pyiscrowd, np.uint8)
 
     def is_box_list(x):
