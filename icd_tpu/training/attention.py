@@ -172,10 +172,12 @@ def train(args, mesh=None):
     step_fn = jax.jit(make_train_step(
         mask, tx, args.alpha_c, args.decoder_dropout))
 
+    from ..utils.profiling import maybe_profile
+
     num_batches = len(loader)
     epoch_losses = metrics.get("epoch_losses", [])
     step_rng = jax.random.PRNGKey(1)
-    with mesh:
+    with mesh, maybe_profile("train_" + args.model_name):
         for epoch in range(start_epoch, args.epochs):
             batch_losses = []
             accum_loss = AccumulatingMetric()
@@ -260,6 +262,8 @@ def evaluate(args, encoder, decoder, batch_size=64):
     vocab = dataset.vocab
     special = {vocab(START_TOKEN), vocab(END_TOKEN), vocab(PAD_TOKEN)}
 
+    # Don't compile a batch-64 program for a tiny validation set.
+    batch_size = max(1, min(batch_size, len(dataset)))
     loader = DataLoader(
         dataset, batch_size=batch_size, shuffle=True, num_workers=2,
         pad_idx=vocab(PAD_TOKEN), drop_last=False)

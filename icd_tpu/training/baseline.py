@@ -188,10 +188,12 @@ def train(args, mesh=None):
 
     step_fn = jax.jit(make_train_step(pad_idx, mask, tx))
 
+    from ..utils.profiling import maybe_profile
+
     train_start = time.time()
     num_batches = len(loader)
     epoch_losses = metrics.get("epoch_losses", [])
-    with mesh:
+    with mesh, maybe_profile("train_" + args.model_name):
         for epoch in range(start_epoch, args.epochs):
             batch_losses = []
             accum_loss = AccumulatingMetric()
@@ -268,6 +270,8 @@ def evaluate(args, encoder, decoder, batch_size=64):
     vocab = dataset.vocab
     special = {vocab(START_TOKEN), vocab(END_TOKEN), vocab(PAD_TOKEN)}
 
+    # Don't compile a batch-64 program for a tiny validation set.
+    batch_size = max(1, min(batch_size, len(dataset)))
     loader = DataLoader(
         dataset, batch_size=batch_size, shuffle=True, num_workers=2,
         pad_idx=vocab(PAD_TOKEN), drop_last=False)
