@@ -1,0 +1,90 @@
+"""Batched beam-search captioning of the val split.
+
+The free-running counterpart of eval.py's teacher-forced protocol:
+beam-search-caption every val image fully on device at a large batch
+size (reference gen_captions.py does one image at a time in Python) and
+write a COCO-results-format JSON
+(``[{"image_id": ..., "caption": ...}]``) that loadRes/COCOeval-style
+tooling consumes.
+
+Usage: python tools/beam_eval.py <attention checkpoint> [--beam_size 5]
+       [--batch_size 64] [--out eval_data/<name>_beam.json]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("checkpoint", type=str)
+    parser.add_argument("--beam_size", type=int, default=5)
+    parser.add_argument("--batch_size", type=int, default=64)
+    parser.add_argument("--max_caption_length", type=int, default=-1)
+    parser.add_argument("--out", type=str, default=None)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from icd_tpu.checkpoint import load_checkpoint, unpack_checkpoint
+    from icd_tpu.data.dataset import COCODataset
+    from icd_tpu.decoding.beam import beam_search_batched
+    from icd_tpu.models.encoder import encoder_attention_forward
+    from icd_tpu.pathconf import PathConfig
+    from icd_tpu.vocabulary import END_TOKEN, START_TOKEN
+
+    chkpt = load_checkpoint(args)
+    _, encoder, decoder, _, _, _ = unpack_checkpoint(chkpt)
+    encoder = jax.tree_util.tree_map(jnp.asarray, encoder)
+    decoder = jax.tree_util.tree_map(jnp.asarray, decoder)
+
+    dataset = COCODataset("val", caption_max_len=args.max_caption_length)
+    vocab = dataset.vocab
+    start_id, end_id = vocab(START_TOKEN), vocab(END_TOKEN)
+
+    # One entry per unique image.
+    img_ids = dataset.img_ids
+    batch_size = max(1, min(args.batch_size, len(img_ids)))
+
+    @jax.jit
+    def caption(imgs):
+        grid, _ = encoder_attention_forward(encoder, imgs, train=False)
+        return beam_search_batched(
+            decoder, grid, args.beam_size, start_id, end_id)
+
+    results = []
+    for i in range(0, len(img_ids), batch_size):
+        chunk = img_ids[i: i + batch_size]
+        imgs = np.stack([dataset._load_img(img_id) for img_id in chunk])
+        valid = len(chunk)
+        if valid < batch_size:
+            imgs = np.concatenate(
+                [imgs, np.repeat(imgs[-1:], batch_size - valid, 0)])
+        out = caption(jnp.asarray(imgs))
+        seqs = np.asarray(out["seq"])[:valid]
+        lens = np.asarray(out["seq_len"])[:valid]
+        for img_id, seq, n in zip(chunk, seqs, lens):
+            words = [vocab.i2w[int(t)] for t in seq[1: int(n) - 1]]
+            results.append({"image_id": int(img_id),
+                            "caption": " ".join(words)})
+        print("captioned {}/{}".format(
+            min(i + batch_size, len(img_ids)), len(img_ids)))
+
+    out_path = args.out or os.path.join(
+        PathConfig.eval_data,
+        "{}_beam.json".format(args.checkpoint.split(".")[0]))
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    with open(out_path, "w") as f:
+        json.dump(results, f)
+    print("Wrote {} captions to {}".format(len(results), out_path))
+
+
+if __name__ == "__main__":
+    main()
