@@ -137,6 +137,98 @@ class COCO:
             return [self.imgs[i] for i in ids]
         return [self.imgs[ids]]
 
+    def showAnns(self, anns):
+        """Display annotations (reference: coco.py:233-295): polygons /
+        masks / keypoints on the current matplotlib axes, or print
+        captions."""
+        if len(anns) == 0:
+            return 0
+        if "segmentation" in anns[0] or "keypoints" in anns[0]:
+            dataset_type = "instances"
+        elif "caption" in anns[0]:
+            dataset_type = "captions"
+        else:
+            raise Exception("datasetType not supported")
+        if dataset_type == "captions":
+            for ann in anns:
+                print(ann["caption"])
+            return
+
+        import matplotlib.pyplot as plt
+        from matplotlib.collections import PatchCollection
+        from matplotlib.patches import Polygon
+
+        ax = plt.gca()
+        ax.set_autoscale_on(False)
+        polygons, colors = [], []
+        for ann in anns:
+            c = (np.random.random((1, 3)) * 0.6 + 0.4).tolist()[0]
+            if "segmentation" in ann:
+                if isinstance(ann["segmentation"], list):
+                    for seg in ann["segmentation"]:
+                        poly = np.asarray(seg).reshape(
+                            (len(seg) // 2, 2))
+                        polygons.append(Polygon(poly))
+                        colors.append(c)
+                else:
+                    from ..native import mask as maskUtils
+
+                    t = self.imgs[ann["image_id"]]
+                    seg = ann["segmentation"]
+                    if isinstance(seg["counts"], list):
+                        rle = maskUtils.frPyObjects(
+                            [seg], t["height"], t["width"])
+                    else:
+                        rle = [seg]
+                    m = maskUtils.decode(rle)
+                    img = np.ones((m.shape[0], m.shape[1], 3))
+                    color_mask = (np.array([2.0, 166.0, 101.0]) / 255
+                                  if ann.get("iscrowd") == 1 else
+                                  np.random.random((1, 3)).tolist()[0])
+                    for i in range(3):
+                        img[:, :, i] = color_mask[i]
+                    ax.imshow(np.dstack((img, m[:, :, 0] * 0.5)))
+            if "keypoints" in ann and isinstance(ann["keypoints"], list):
+                sks = np.asarray(self.loadCats(
+                    ann["category_id"])[0]["skeleton"]) - 1
+                kp = np.asarray(ann["keypoints"])
+                x, y, v = kp[0::3], kp[1::3], kp[2::3]
+                for sk in sks:
+                    if np.all(v[sk] > 0):
+                        plt.plot(x[sk], y[sk], linewidth=3, color=c)
+                plt.plot(x[v > 0], y[v > 0], "o", markersize=8,
+                         markerfacecolor=c, markeredgecolor="k",
+                         markeredgewidth=2)
+                plt.plot(x[v > 1], y[v > 1], "o", markersize=8,
+                         markerfacecolor=c, markeredgecolor=c,
+                         markeredgewidth=2)
+        p = PatchCollection(polygons, facecolor=colors, linewidths=0,
+                            alpha=0.4)
+        ax.add_collection(p)
+        p = PatchCollection(polygons, facecolor="none",
+                            edgecolors=colors, linewidths=2)
+        ax.add_collection(p)
+
+    def download(self, tarDir=None, imgIds=[]):
+        """Download images by coco_url (reference: coco.py:358-381).
+        Inert without network access; kept for API completeness."""
+        import os
+        from urllib.request import urlretrieve
+
+        if tarDir is None:
+            print("Please specify target directory")
+            return -1
+        imgs = (list(self.imgs.values()) if len(imgIds) == 0
+                else self.loadImgs(imgIds))
+        os.makedirs(tarDir, exist_ok=True)
+        for i, img in enumerate(imgs):
+            tic = time.time()
+            fname = os.path.join(tarDir, img["file_name"])
+            if not os.path.exists(fname):
+                urlretrieve(img["coco_url"], fname)
+            print("downloaded {}/{} images (t={:0.1f}s)".format(
+                i, len(imgs), time.time() - tic))
+
     def loadRes(self, resFile):
         """Load algorithm results into a new COCO index (reference: coco.py:297-356)."""
         res = COCO()
