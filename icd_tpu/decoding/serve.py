@@ -33,6 +33,28 @@ def make_captioner(encoder_params, decoder_params, start_id, end_id,
     return caption
 
 
+def make_attention_captioner(encoder_params, decoder_params, start_id,
+                             end_id, max_len=25,
+                             compute_dtype=jnp.bfloat16):
+    """Jitted (imgs uint8 NHWC) -> (tokens (B, max_len), alphas) for the
+    soft-attention model."""
+    from ..models.encoder import encoder_attention_forward
+    from .greedy_attention import greedy_decode_attention
+
+    decoder_cast = jax.tree_util.tree_map(
+        lambda x: x.astype(compute_dtype), decoder_params)
+
+    @jax.jit
+    def caption(imgs):
+        grid, _ = encoder_attention_forward(
+            encoder_params, imgs, train=False, compute_dtype=compute_dtype)
+        return greedy_decode_attention(
+            decoder_cast, grid.astype(compute_dtype), start_id, end_id,
+            max_len=max_len)
+
+    return caption
+
+
 def make_repeat_captioner(encoder_params, decoder_params, start_id, end_id,
                           max_len=25, compute_dtype=jnp.bfloat16, repeats=10):
     """Captioner that processes `repeats` perturbed copies of the batch
