@@ -266,14 +266,26 @@ class COCOeval:
         recall = -np.ones((T, K, A, M))
         scores = -np.ones((T, R, K, A, M))
 
+        # Re-map the (possibly customized) accumulate params onto the
+        # layout evaluate() stored under _paramsEval (reference:
+        # cocoeval.py:340-351 — supports e.g. restricting catIds between
+        # evaluate() and accumulate()).
         _pe = self._paramsEval
+        eval_cats = _pe.catIds if _pe.useCats else [-1]
+        set_k = {c: i for i, c in enumerate(eval_cats)}
+        set_a = {tuple(x): i for i, x in enumerate(_pe.areaRng)}
+        set_i = {img: i for i, img in enumerate(_pe.imgIds)}
+        k_list = [set_k[c] for c in p.catIds if c in set_k]
+        a_list = [set_a[tuple(x)] for x in p.areaRng if tuple(x) in set_a]
+        m_list = [m for m in p.maxDets if m in set(_pe.maxDets)]
+        i_list = [set_i[i] for i in p.imgIds if i in set_i]
         I0, A0 = len(_pe.imgIds), len(_pe.areaRng)
-        for k in range(K):
-            Nk = k * A0 * I0
-            for a in range(A):
-                Na = a * I0
-                for m, maxDet in enumerate(p.maxDets):
-                    E = [self.evalImgs[Nk + Na + i] for i in range(I0)]
+        for k, k0 in enumerate(k_list):
+            Nk = k0 * A0 * I0
+            for a, a0 in enumerate(a_list):
+                Na = a0 * I0
+                for m, maxDet in enumerate(m_list):
+                    E = [self.evalImgs[Nk + Na + i] for i in i_list]
                     E = [e for e in E if e is not None]
                     if len(E) == 0:
                         continue

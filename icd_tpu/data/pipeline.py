@@ -24,7 +24,11 @@ import numpy as np
 class Batch(dict):
     """Dict-like batch with attribute access."""
 
-    __getattr__ = dict.__getitem__
+    def __getattr__(self, name):
+        try:
+            return self[name]
+        except KeyError:
+            raise AttributeError(name) from None
 
 
 def pad_captions(captions, pad_idx, max_len=None):
@@ -167,8 +171,9 @@ def device_prefetch(iterator, size=2, sharding=None):
         try:
             for batch in iterator:
                 q.put(_put(batch))
-        finally:
             q.put(_SENTINEL)
+        except BaseException as exc:  # propagate to the consumer
+            q.put(exc)
 
     thread = threading.Thread(target=producer, daemon=True)
     thread.start()
@@ -176,4 +181,6 @@ def device_prefetch(iterator, size=2, sharding=None):
         item = q.get()
         if item is _SENTINEL:
             break
+        if isinstance(item, BaseException):
+            raise item
         yield item

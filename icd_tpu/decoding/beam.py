@@ -175,16 +175,25 @@ def attention_caption_image_beam_search(args, img, encoder_params,
     """Reference-protocol wrapper (gen_captions.py:16-131).
 
     Args:
-        img: (1, H, W, 3) image (uint8 or float NHWC).
+        img: (1, H, W, 3) image (uint8 or float NHWC). uint8 input is
+            scaled /255 WITHOUT ImageNet mean/std, reproducing the
+            reference beam path's loader quirk (gen_captions.py:133-143
+            leaves the normalization commented out); float input is fed
+            as-is.
 
     Returns:
         (seq list, alphas list of (gh, gw) maps, Caption_End bool).
     """
+    import jax.numpy as jnp
     import numpy as np
 
     from ..models.encoder import encoder_attention_forward
+    from ..ops.image import scale_only
     from ..vocabulary import END_TOKEN, START_TOKEN
 
+    img = jnp.asarray(img)
+    if img.dtype == jnp.uint8:
+        img = scale_only(img)
     grid, _ = encoder_attention_forward(encoder_params, img, train=False)
     gh, gw = grid.shape[1], grid.shape[2]
     flat = grid.reshape(1, -1, grid.shape[-1])[0]

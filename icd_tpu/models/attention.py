@@ -19,7 +19,6 @@ TPU-native design notes:
 import jax
 import jax.numpy as jnp
 
-from ..vocabulary import Vocabulary
 from .lstm import init_lstm, lstm_cell
 
 
@@ -52,7 +51,9 @@ def _linear(key, fan_in, fan_out, dtype=jnp.float32):
 def init_attention_decoder(key, params, encoder_dim=ENCODER_DIM,
                            dtype=jnp.float32):
     assert isinstance(params, AttentionDecoderParams)
-    assert isinstance(params.vocab, Vocabulary) or params.vocab is not None
+    # Any vocabulary-like object with a size works (reference asserts the
+    # concrete Vocabulary class, attention.py:84).
+    assert params.vocab is not None and hasattr(params.vocab, "__len__")
 
     vocab_size = len(params.vocab)
     a, d, e = params.attention_dim, params.decoder_dim, params.embed_size

@@ -152,11 +152,33 @@ struct Parser {
       }
       return fail();
     }
-    // number
-    char* num_end = nullptr;
-    const double v = std::strtod(p, &num_end);
-    if (num_end == p || num_end > end) return fail();
-    p = num_end;
+    // number — enforce the JSON grammar before strtod (which would
+    // also accept '+1', '.5', '1.', hex, inf/nan).
+    const char* q = p;
+    if (q < end && *q == '-') ++q;
+    if (q >= end || !std::isdigit(static_cast<unsigned char>(*q)))
+      return fail();
+    if (*q == '0') {
+      ++q;
+    } else {
+      while (q < end && std::isdigit(static_cast<unsigned char>(*q))) ++q;
+    }
+    if (q < end && *q == '.') {
+      ++q;
+      if (q >= end || !std::isdigit(static_cast<unsigned char>(*q)))
+        return fail();
+      while (q < end && std::isdigit(static_cast<unsigned char>(*q))) ++q;
+    }
+    if (q < end && (*q == 'e' || *q == 'E')) {
+      ++q;
+      if (q < end && (*q == '+' || *q == '-')) ++q;
+      if (q >= end || !std::isdigit(static_cast<unsigned char>(*q)))
+        return fail();
+      while (q < end && std::isdigit(static_cast<unsigned char>(*q))) ++q;
+    }
+    const std::string token(p, q);
+    const double v = std::strtod(token.c_str(), nullptr);
+    p = q;
     Node n;
     n.tag = Tag::kNumber;
     n.number = v;

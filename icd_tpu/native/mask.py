@@ -21,8 +21,12 @@ _LIB_PATH = os.path.join(_DIR, "libicdmask.so")
 
 def _load():
     if not os.path.exists(_LIB_PATH):
-        subprocess.run(["make", "-C", _DIR], check=True,
-                       capture_output=True)
+        proc = subprocess.run(["make", "-C", _DIR], capture_output=True,
+                              text=True)
+        if proc.returncode != 0:
+            raise RuntimeError(
+                "building libicdmask.so failed:\n{}\n{}".format(
+                    proc.stdout, proc.stderr))
     lib = ctypes.CDLL(_LIB_PATH)
     u64, u32p, u64p, u8p, dp, cp = (
         ctypes.c_uint64, ctypes.POINTER(ctypes.c_uint32),

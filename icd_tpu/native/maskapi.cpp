@@ -214,11 +214,18 @@ void rle_to_bbox(const Rle& r, double* bb) {
   bb[3] = static_cast<double>(ymax - ymin + 1);
 }
 
-// Even-odd scanline polygon fill sampling pixel centers, column-major
-// output. Matches the cocoapi pixel convention (bbox [0 0 1 1]
-// encloses exactly pixel (0, 0)).
+// Polygon rasterization: even-odd scanline fill sampling pixel
+// centers. The upstream cocoapi rasterizer quantizes vertices to a
+// 1/5-pixel grid and fills between column-center crossings with
+// ceil(y - 0.4) row rounding; this implementation uses exact
+// continuous crossings with strict center-inside rounding, so filled
+// masks can differ from upstream by at most the edge pixels whose
+// centers fall within 0.1 px of the outline (vertices with fractional
+// parts in (0.4, 0.5]). Pixel convention matches upstream:
+// bbox [0 0 1 1] encloses exactly pixel (0, 0).
 Rle poly_to_rle(const double* xy, u64 k, u64 h, u64 w) {
   std::vector<u8> mask(h * w, 0);
+  // Interior fill by pixel-center parity.
   for (u64 col = 0; col < w; ++col) {
     const double cx = col + 0.5;
     std::vector<double> ys;
@@ -255,8 +262,6 @@ double bb_iou_one(const double* d, const double* g, bool crowd) {
                            : d[2] * d[3] + g[2] * g[3] - inter;
   return uni > 0 ? inter / uni : 0.0;
 }
-
-thread_local std::vector<Rle> g_store;  // scratch for multi-call protocols
 
 Rle rle_from_parts(const u32* cnts, u64 m, u64 h, u64 w) {
   Rle r;

@@ -117,9 +117,15 @@ def train(args, mesh=None):
     vocab = dataset.vocab
     pad_idx = vocab(PAD_TOKEN)
 
+    # pad_to_multiple=0: the attention model's decode window is
+    # padded_len - 1 and its train CE has no ignore_index, so padding
+    # beyond the batch max would add extra all-pad timesteps to the loss
+    # and regularizer (and extra '<pad>' context for BERT) — the
+    # reference pads exactly to the batch max (attention.py:303-313).
     loader = DataLoader(
         dataset, batch_size=args.batch_size, shuffle=True,
-        num_workers=args.workers, pad_idx=pad_idx, drop_last=True)
+        num_workers=args.workers, pad_idx=pad_idx, drop_last=True,
+        pad_to_multiple=0)
 
     if mesh is None:
         n_data = 1
