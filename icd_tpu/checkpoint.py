@@ -60,11 +60,23 @@ def save_checkpoint(args, epoch, encoder, decoder, encoder_optimizer,
 
 def load_checkpoint(args=None, name=None, verbose=True):
     """Load a checkpoint by name from the checkpoints dir
-    (reference: checkpoint.py:8-18)."""
+    (reference: checkpoint.py:8-18).
+
+    Reference ``.pth.tar`` checkpoints (torch whole-module pickles) are
+    detected and converted transparently, so ``eval.py baseline_3.pth.tar
+    --model_type baseline`` works against the reference's artifacts."""
     name = name if name is not None else args.checkpoint
     path = os.path.join(PathConfig.checkpoints_dir, name)
     if verbose:
         print("Loading checkpoint {}".format(path))
+    with open(path, "rb") as f:
+        magic = f.read(2)
+    if magic == b"PK" or name.endswith(".pth.tar"):
+        from .convert import convert_reference_checkpoint
+
+        if verbose:
+            print("Detected reference torch checkpoint; converting.")
+        return convert_reference_checkpoint(path)
     with open(path, "rb") as f:
         return pickle.load(f)
 

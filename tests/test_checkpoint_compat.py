@@ -1,0 +1,53 @@
+"""Transparent loading of reference-style torch .pth.tar checkpoints."""
+
+import os
+
+import numpy as np
+import torch
+import torch.nn as nn
+
+from icd_tpu.checkpoint import load_checkpoint, unpack_checkpoint
+
+from test_convert import RefNamedBaselineDecoder
+from test_resnet import DEPTHS, WIDTHS, TorchMiniResNet
+
+
+class RefEncoder(nn.Module):
+    """Module-level (picklable) replica of the reference Encoder layout."""
+
+    def __init__(self, backbone, embed_out=16):
+        super().__init__()
+        self.resnet = nn.Sequential(
+            backbone.conv1, backbone.bn1, nn.ReLU(),
+            backbone.maxpool, backbone.layer1, backbone.layer2,
+            backbone.layer3, backbone.layer4)
+        self.embed = nn.Linear(WIDTHS[-1] * 4, embed_out)
+
+
+def test_load_reference_pth_tar(use_coco_root):
+    torch.manual_seed(0)
+    backbone = TorchMiniResNet(DEPTHS, WIDTHS).eval()
+    encoder = RefEncoder(backbone)
+    decoder = RefNamedBaselineDecoder(15, 16, 12)
+    state = {
+        "epoch": 3,
+        "metrics": {"epoch_losses": [[1.0, 0.9]]},
+        "encoder": encoder,
+        "decoder": decoder,
+        "encoder_optimizer": None,
+        "decoder_optimizer": torch.optim.Adam(decoder.parameters()),
+    }
+    path = os.path.join(use_coco_root, "checkpoints",
+                        "refmodel_3.pth.tar")
+    torch.save(state, path)
+
+    chkpt = load_checkpoint(name="refmodel_3.pth.tar")
+    epoch, enc, dec, _, _, metrics = unpack_checkpoint(chkpt)
+    assert epoch == 3
+    assert metrics["epoch_losses"] == [[1.0, 0.9]]
+    # Converted trees carry the torch weights.
+    np.testing.assert_allclose(
+        dec["embedding"],
+        decoder.embedding.weight.detach().numpy(), atol=1e-7)
+    assert enc["resnet"]["stem"]["conv"].shape == (7, 7, 3, WIDTHS[0])
+    assert enc["embed"]["w"].shape == (WIDTHS[-1] * 4, 16)
