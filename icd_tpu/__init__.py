@@ -20,3 +20,24 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # Lazy top-level conveniences (avoid importing jax at package import).
+    import importlib
+
+    targets = {
+        "COCO": "icd_tpu.data.coco",
+        "COCODataset": "icd_tpu.data.dataset",
+        "COCOeval": "icd_tpu.data.cocoeval",
+        "Vocabulary": "icd_tpu.vocabulary",
+        "build_vocab": "icd_tpu.vocabulary",
+        "load_vocab": "icd_tpu.vocabulary",
+        "get_eval_score": "icd_tpu.metric",
+        "load_checkpoint": "icd_tpu.checkpoint",
+        "save_checkpoint": "icd_tpu.checkpoint",
+        "unpack_checkpoint": "icd_tpu.checkpoint",
+    }
+    if name in targets:
+        return getattr(importlib.import_module(targets[name]), name)
+    raise AttributeError(name)

@@ -69,11 +69,11 @@ def _decoder_trainable_mask(decoder_params, fine_tune_embedding):
     return mask
 
 
-def make_train_step(mask, tx, alpha_c, dropout_rate, bert_fn=None):
+def make_train_step(mask, tx, alpha_c, dropout_rate):
     """Jitted SPMD train step for the attention model.
 
-    bert_fn: optional host-precomputed embeddings are passed through the
-    batch instead; the step just consumes batch['embeddings'] when given.
+    BERT embeddings (when --use_bert) are precomputed on host and passed
+    as the step's optional `embeddings` argument.
     """
 
     def step(trainable, frozen, opt_state, rng, imgs, captions,
