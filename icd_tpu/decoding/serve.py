@@ -6,8 +6,6 @@ ResNet-101 + LSTM decode fused into a single jitted program running in
 bfloat16 on the MXU. Weights are cast once at build time, not per call.
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

@@ -2,9 +2,7 @@
 
 import ctypes
 
-import numpy as np
-
-from .mask import _LIB_PATH, _lib  # reuse the shared library
+from .mask import _lib  # reuse the shared library
 
 _lib.icd_json_validate.restype = ctypes.c_int
 _lib.icd_json_validate.argtypes = [

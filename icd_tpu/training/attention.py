@@ -34,7 +34,7 @@ from ..models.encoder import (
 from ..parallel.mesh import batch_sharding, make_mesh
 from ..training.baseline import make_optimizer_for
 from ..training.common import (
-    cross_entropy, doubly_stochastic_regularizer, merge, partition)
+    doubly_stochastic_regularizer, merge, partition)
 from ..vocabulary import END_TOKEN, PAD_TOKEN, START_TOKEN
 
 

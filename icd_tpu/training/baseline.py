@@ -36,7 +36,7 @@ from ..models.baseline import (
     BaselineDecoderParams, baseline_decoder_forward, init_baseline_decoder,
     load_pretrained_embeddings)
 from ..models.encoder import encoder_forward, init_encoder, trainable_mask
-from ..parallel.mesh import make_mesh, shard_batch
+from ..parallel.mesh import make_mesh
 from ..training.common import (
     cross_entropy, make_optimizer, merge, partition)
 from ..vocabulary import END_TOKEN, PAD_TOKEN, START_TOKEN
