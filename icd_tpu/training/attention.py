@@ -122,9 +122,11 @@ def train(args, mesh=None):
     # beyond the batch max would add extra all-pad timesteps to the loss
     # and regularizer (and extra '<pad>' context for BERT) — the
     # reference pads exactly to the batch max (attention.py:303-313).
+    # drop_last=False: the reference keeps the trailing partial batch
+    # (torch DataLoader default, attention.py:317-323).
     loader = DataLoader(
         dataset, batch_size=args.batch_size, shuffle=True,
-        num_workers=args.workers, pad_idx=pad_idx, drop_last=True,
+        num_workers=args.workers, pad_idx=pad_idx, drop_last=False,
         pad_to_multiple=0)
 
     if mesh is None:
@@ -190,9 +192,14 @@ def train(args, mesh=None):
             accum_time = AccumulatingMetric()
             start = time.time()
 
+            from ..parallel.mesh import replicated
+
+            n_data = mesh.shape.get("data", 1)
             batches = device_prefetch(
                 iter(loader), size=2,
-                sharding=lambda x: batch_sharding(mesh, x.ndim))
+                sharding=lambda x: (
+                    batch_sharding(mesh, x.ndim)
+                    if x.shape[0] % n_data == 0 else replicated(mesh)))
             for batch_idx, batch in enumerate(batches):
                 step_rng, rng_t = jax.random.split(step_rng)
                 # Reference quirk: lengths measured after padding ->

@@ -142,9 +142,11 @@ def train(args, mesh=None):
     vocab = dataset.vocab
     pad_idx = vocab(PAD_TOKEN)
 
+    # The reference keeps the trailing partial batch (torch DataLoader
+    # default, baseline.py:144-149); it costs one extra XLA program.
     loader = DataLoader(
         dataset, batch_size=args.batch_size, shuffle=True,
-        num_workers=args.workers, pad_idx=pad_idx, drop_last=True)
+        num_workers=args.workers, pad_idx=pad_idx, drop_last=False)
 
     if mesh is None:
         n_data = 1
@@ -200,11 +202,14 @@ def train(args, mesh=None):
             accum_time = AccumulatingMetric()
             start = time.time()
 
-            from ..parallel.mesh import batch_sharding
+            from ..parallel.mesh import batch_sharding, replicated
 
+            n_data = mesh.shape.get("data", 1)
             batches = device_prefetch(
                 iter(loader), size=2,
-                sharding=lambda x: batch_sharding(mesh, x.ndim))
+                sharding=lambda x: (
+                    batch_sharding(mesh, x.ndim)
+                    if x.shape[0] % n_data == 0 else replicated(mesh)))
             for batch_idx, batch in enumerate(batches):
                 trainable, frozen, opt_state, loss = step_fn(
                     trainable, frozen, opt_state,

@@ -46,6 +46,20 @@ def test_train_one_epoch_and_resume(use_coco_root, capsys):
     assert len(chkpt2["metrics"]["epoch_losses"]) == 2
 
 
+def test_partial_final_batch(use_coco_root):
+    """The trailing partial batch trains (reference torch DataLoader
+    default); 8 captions at batch 3 -> 3 batches, last of size 2
+    (indivisible by the data mesh -> replicated fallback)."""
+    args = make_train_args(
+        model_name="bl_partial", batch_size=3, epochs=1, embed_size=16,
+        decoder_dim=12, workers=0, print_freq=100)
+    tb.train(args)
+    chkpt = load_checkpoint(name="bl_partial_0.ckpt")
+    losses = chkpt["metrics"]["epoch_losses"][0]
+    assert len(losses) == 3
+    assert all(np.isfinite(v) for v in losses)
+
+
 def test_loss_decreases_on_overfit(use_coco_root):
     """Sanity: repeated epochs on the tiny fixture reduce loss."""
     args = make_train_args(
