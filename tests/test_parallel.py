@@ -1,0 +1,108 @@
+"""SPMD correctness: sharded execution reproduces single-device numerics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from icd_tpu.models.baseline import (
+    BaselineDecoderParams, init_baseline_decoder)
+from icd_tpu.models.encoder import trainable_mask
+from icd_tpu.parallel.mesh import (
+    batch_sharding, decoder_param_specs, make_mesh, param_sharding,
+    replicated, shard_batch)
+from icd_tpu.training.baseline import make_optimizer_for, make_train_step
+from icd_tpu.training.common import partition
+
+from helpers import small_init_encoder
+
+
+class Args:
+    encoder_lr = 1e-4
+    decoder_lr = 1e-3
+    grad_clip = 5.0
+
+
+V, E, H, B, T = 128, 16, 16, 8, 10
+
+
+def _setup():
+    key = jax.random.PRNGKey(0)
+    p = BaselineDecoderParams()
+    p.vocab_size = V
+    p.embed_size = E
+    p.hidden_size = H
+    encoder = small_init_encoder(key, E)
+    decoder = init_baseline_decoder(jax.random.PRNGKey(1), p)
+    mask = {
+        "encoder": trainable_mask(encoder, head=False),
+        "decoder": jax.tree_util.tree_map(lambda _: True, decoder),
+    }
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 255, (B, 32, 32, 3)).astype(np.uint8)
+    caps = rng.integers(1, V, (B, T)).astype(np.int32)
+    return encoder, decoder, mask, imgs, caps
+
+
+def _run_steps(mesh, encoder, decoder, mask, imgs, caps, tp=False,
+               n_steps=3):
+    params = {"encoder": encoder, "decoder": decoder}
+    if tp:
+        dec_shardings = param_sharding(
+            decoder_param_specs(params["decoder"]), mesh)
+        params = {
+            "encoder": jax.device_put(params["encoder"], replicated(mesh)),
+            "decoder": jax.tree_util.tree_map(
+                jax.device_put, params["decoder"], dec_shardings),
+        }
+    trainable, frozen = partition(params, mask)
+    tx = make_optimizer_for(trainable, Args)
+    opt_state = tx.init(trainable)
+    step = jax.jit(make_train_step(0, mask, tx))
+
+    imgs_d = jax.device_put(jnp.asarray(imgs), batch_sharding(mesh, 4))
+    caps_d = jax.device_put(jnp.asarray(caps), batch_sharding(mesh, 2))
+    losses = []
+    with mesh:
+        for _ in range(n_steps):
+            trainable, frozen, opt_state, loss = step(
+                trainable, frozen, opt_state, imgs_d, caps_d)
+            losses.append(float(loss))
+    return losses, jax.tree_util.tree_map(np.asarray, trainable)
+
+
+def test_dp_tp_matches_single_device():
+    encoder, decoder, mask, imgs, caps = _setup()
+    single = make_mesh(n_data=1, n_model=1, devices=jax.devices()[:1])
+    losses_1, params_1 = _run_steps(
+        single, encoder, decoder, mask, imgs, caps)
+
+    dp_tp = make_mesh(n_data=4, n_model=2)
+    losses_8, params_8 = _run_steps(
+        dp_tp, encoder, decoder, mask, imgs, caps, tp=True)
+
+    np.testing.assert_allclose(losses_1, losses_8, rtol=1e-5)
+    # Updated decoder params agree leaf-by-leaf.
+    flat_1 = jax.tree_util.tree_leaves(params_1["decoder"])
+    flat_8 = jax.tree_util.tree_leaves(params_8["decoder"])
+    for a, b in zip(flat_1, flat_8):
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_dp_only_matches_single_device():
+    encoder, decoder, mask, imgs, caps = _setup()
+    single = make_mesh(n_data=1, n_model=1, devices=jax.devices()[:1])
+    losses_1, _ = _run_steps(single, encoder, decoder, mask, imgs, caps)
+    dp = make_mesh(n_data=8, n_model=1)
+    losses_8, _ = _run_steps(dp, encoder, decoder, mask, imgs, caps)
+    np.testing.assert_allclose(losses_1, losses_8, rtol=1e-5)
+
+
+def test_shard_batch_layout():
+    mesh = make_mesh(n_data=4, n_model=2)
+    batch = {"imgs": np.zeros((8, 4, 4, 3), np.uint8),
+             "captions": np.zeros((8, 5), np.int32),
+             "paths": ["x"] * 8}
+    out = shard_batch(batch, mesh)
+    assert out["imgs"].sharding.spec[0] == "data"
+    assert out["paths"] == ["x"] * 8

@@ -74,6 +74,38 @@ def test_loss_decreases_on_overfit(use_coco_root):
     assert last < first * 0.7, (first, last)
 
 
+def test_fine_tune_encoder_updates_head(use_coco_root):
+    """--fine_tune_encoder optimizes the embed Linear (and only then,
+    reference baseline.py:158-163); BN stats update regardless."""
+    import jax
+
+    args = make_train_args(
+        model_name="bl_ft", batch_size=8, epochs=1, embed_size=16,
+        decoder_dim=12, workers=0, print_freq=100,
+        fine_tune_encoder=True)
+    params = tb.train(args)
+    chkpt_head = np.asarray(params["encoder"]["embed"]["w"])
+
+    args2 = make_train_args(
+        model_name="bl_noft", batch_size=8, epochs=1, embed_size=16,
+        decoder_dim=12, workers=0, print_freq=100,
+        fine_tune_encoder=False)
+    params2 = tb.train(args2)
+    frozen_head = np.asarray(params2["encoder"]["embed"]["w"])
+
+    # Same init seed -> heads start identical; only the fine-tuned one
+    # moves. BN running stats moved in both (train-mode BN).
+    init = tb.build_baseline(args2, __import__(
+        "icd_tpu.vocabulary", fromlist=["load_vocab"]).load_vocab(),
+        jax.random.PRNGKey(0))[0]
+    np.testing.assert_array_equal(
+        frozen_head, np.asarray(init["embed"]["w"]))
+    assert not np.array_equal(chkpt_head, frozen_head)
+    assert not np.array_equal(
+        np.asarray(params2["encoder"]["resnet"]["stem"]["bn"]["mean"]),
+        np.asarray(init["resnet"]["stem"]["bn"]["mean"]))
+
+
 def test_evaluate_metrics(use_coco_root):
     args = make_train_args(
         model_name="bl_e", batch_size=4, epochs=1, embed_size=16,
