@@ -324,6 +324,9 @@ def evaluate(args, encoder, decoder, batch_size=64):
                 [int(w) for w in pred if int(w) not in special])
 
         assert len(hypotheses) == len(references)
+        # The reference prints the running loss unconditionally each
+        # batch, in addition to the print_freq line (attention.py:557).
+        print("loss: {}".format(accum_loss.avg()))
         if batch_idx % args.print_freq == 0:
             print("Batch {}/{}, Loss {:.4f}".format(
                 batch_idx + 1, num_batches, accum_loss.avg()))

@@ -84,7 +84,18 @@ def save_vocab(vocab, path=None):
         pickle.dump(vocab, f)
 
 
+class _CompatUnpickler(pickle.Unpickler):
+    """Resolves the reference's pickled class path ('vocabulary.
+    Vocabulary', vocabulary.py:63-71) to this module, so vocab.pkl files
+    produced by the reference load unchanged."""
+
+    def find_class(self, module, name):
+        if module == "vocabulary":
+            module = __name__
+        return super().find_class(module, name)
+
+
 def load_vocab(path=None):
     path = path or PathConfig.vocab_file
     with open(path, "rb") as f:
-        return pickle.load(f)
+        return _CompatUnpickler(f).load()
