@@ -48,11 +48,13 @@ def init_encoder_attention(key, dtype=jnp.float32):
     return {"resnet": init_resnet101(key, dtype)}
 
 
-def encoder_forward(params, imgs, train=False, compute_dtype=None):
+def encoder_forward(params, imgs, train=False, compute_dtype=None,
+                    conv=None):
     """(B, H, W, 3) uint8/float -> ((B, embed_size), new_params)."""
     x = normalize_imagenet(imgs) if imgs.dtype == jnp.uint8 else imgs
     feats, new_resnet = resnet_forward(
-        params["resnet"], x, train=train, compute_dtype=compute_dtype)
+        params["resnet"], x, train=train, compute_dtype=compute_dtype,
+        conv=conv)
     pooled = global_avg_pool(feats)
     embed = params["embed"]
     out = pooled.astype(embed["w"].dtype) @ embed["w"] + embed["b"]
@@ -60,11 +62,12 @@ def encoder_forward(params, imgs, train=False, compute_dtype=None):
 
 
 def encoder_attention_forward(params, imgs, train=False, compute_dtype=None,
-                              grid=ATTENTION_GRID):
+                              grid=ATTENTION_GRID, conv=None):
     """(B, H, W, 3) uint8/float -> ((B, gh, gw, 2048), new_params)."""
     x = normalize_imagenet(imgs) if imgs.dtype == jnp.uint8 else imgs
     feats, new_resnet = resnet_forward(
-        params["resnet"], x, train=train, compute_dtype=compute_dtype)
+        params["resnet"], x, train=train, compute_dtype=compute_dtype,
+        conv=conv)
     feats = adaptive_avg_pool2d(feats, grid)
     return feats, dict(params, resnet=new_resnet)
 

@@ -177,22 +177,22 @@ def init_resnet101(key, dtype=jnp.float32):
 # Forward
 # ---------------------------------------------------------------------------
 
-def _bottleneck(block, x, stride, train):
+def _bottleneck(block, x, stride, train, conv=conv2d):
     """1x1 -> 3x3(stride) -> 1x1 bottleneck with projection shortcut."""
     new_block = dict(block)
     out, new_block["bn1"] = batch_norm(
-        conv2d(x, block["conv1"]), block["bn1"], train)
+        conv(x, block["conv1"]), block["bn1"], train)
     out = jax.nn.relu(out)
     out, new_block["bn2"] = batch_norm(
-        conv2d(out, block["conv2"], stride=stride, padding=1),
+        conv(out, block["conv2"], stride=stride, padding=1),
         block["bn2"], train)
     out = jax.nn.relu(out)
     out, new_block["bn3"] = batch_norm(
-        conv2d(out, block["conv3"]), block["bn3"], train)
+        conv(out, block["conv3"]), block["bn3"], train)
 
     if "downsample" in block:
         shortcut, new_ds_bn = batch_norm(
-            conv2d(x, block["downsample"]["conv"], stride=stride),
+            conv(x, block["downsample"]["conv"], stride=stride),
             block["downsample"]["bn"], train)
         new_block["downsample"] = dict(
             block["downsample"], bn=new_ds_bn)
@@ -201,19 +201,23 @@ def _bottleneck(block, x, stride, train):
     return jax.nn.relu(out + shortcut), new_block
 
 
-def resnet_forward(params, x, train=False, compute_dtype=None):
+def resnet_forward(params, x, train=False, compute_dtype=None, conv=None):
     """Run the backbone; returns (features NHWC at stride 32, new_params).
 
     new_params only differs from params in BN running stats (and only
     when train=True); under jit the copy is free when discarded.
+    ``conv`` overrides the convolution implementation (e.g.
+    ops.quant.int8_conv for the quantized serving path).
     """
+    if conv is None:
+        conv = conv2d
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         params = jax.tree_util.tree_map(
             lambda p: p.astype(compute_dtype), params)
     new_params = {"stem": dict(params["stem"]), "layers": []}
 
-    out = conv2d(x, params["stem"]["conv"], stride=2, padding=3)
+    out = conv(x, params["stem"]["conv"], stride=2, padding=3)
     out, new_params["stem"]["bn"] = batch_norm(
         out, params["stem"]["bn"], train)
     out = jax.nn.relu(out)
@@ -223,7 +227,8 @@ def resnet_forward(params, x, train=False, compute_dtype=None):
         new_blocks = []
         for b, block in enumerate(blocks):
             stride = 2 if (stage > 0 and b == 0) else 1
-            out, new_block = _bottleneck(block, out, stride, train)
+            out, new_block = _bottleneck(block, out, stride, train,
+                                         conv=conv)
             new_blocks.append(new_block)
         new_params["layers"].append(new_blocks)
     return out, new_params

@@ -1,0 +1,51 @@
+"""Dynamic int8 quantized convolution (experimental serving path).
+
+v5e's MXU runs int8 at 2x bf16 throughput (measured on this chip:
+460 vs 222 TFLOP/s on an isolated ResNet-stage conv). ``int8_conv``
+implements standard W8A8 *dynamic* quantization: symmetric per-tensor
+activation scaling and per-output-channel weight scaling, int32
+accumulation, dequantized output. Plugged into the backbone via
+``resnet_forward(..., conv=int8_conv)``.
+
+Measured END-TO-END, dynamic quantization currently LOSES on this
+model (11.0 vs 7.3 ms/batch-64 serving): the per-layer abs-max
+reduction plus round/clip/cast passes add more VPU time and HBM
+traffic than the int8 matmuls save at ResNet-101's activation sizes.
+The 2x win requires static (calibrated) activation scales with the
+quantize folded into the previous layer's epilogue — a round-2
+candidate once calibration data exists. Kept as an experimental flag
+(make_captioner(int8=True)); never used by training.
+"""
+
+import jax
+import jax.numpy as jnp
+
+
+def _quantize_per_tensor(x):
+    scale = jnp.max(jnp.abs(x)) / 127.0
+    scale = jnp.maximum(scale, 1e-8)
+    q = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def _quantize_weight_per_channel(w):
+    # w: HWIO; scale per output channel.
+    scale = jnp.max(jnp.abs(w), axis=(0, 1, 2)) / 127.0
+    scale = jnp.maximum(scale, 1e-8)
+    q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def int8_conv(x, w, stride=1, padding=0):
+    """Drop-in for ops-level conv2d with W8A8 dynamic quantization."""
+    if isinstance(stride, int):
+        stride = (stride, stride)
+    if isinstance(padding, int):
+        padding = [(padding, padding), (padding, padding)]
+    xq, xs = _quantize_per_tensor(x)
+    wq, ws = _quantize_weight_per_channel(w)
+    acc = jax.lax.conv_general_dilated(
+        xq, wq, window_strides=stride, padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * (xs * ws)
