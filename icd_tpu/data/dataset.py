@@ -72,9 +72,12 @@ class COCODataset:
         result.append(self.vocab(END_TOKEN))
         return np.asarray(result, dtype=np.int32)
 
+    def _img_path(self, img_id):
+        return os.path.join(
+            self.img_dir, self.coco.loadImgs(img_id)[0]["file_name"])
+
     def _load_img(self, img_id):
-        img_path = self.coco.loadImgs(img_id)[0]["file_name"]
-        img = Image.open(os.path.join(self.img_dir, img_path)).convert("RGB")
+        img = Image.open(self._img_path(img_id)).convert("RGB")
         img = img.resize((self.img_size, self.img_size), Image.BILINEAR)
         arr = np.asarray(img, dtype=np.uint8)  # (H, W, 3) uint8
         if self.img_transform is not None:
@@ -90,11 +93,9 @@ class COCODataset:
 
         if self.mode == "train":
             return img, caption
-        img_path = os.path.join(
-            self.img_dir, self.coco.loadImgs(img_id)[0]["file_name"])
         all_captions = [self._numericalize_caption(ann["caption"])
                         for ann in self._get_annotations(img_id)]
-        return img, caption, img_path, all_captions
+        return img, caption, self._img_path(img_id), all_captions
 
     def __len__(self):
         # Number of captions; an image can have multiple captions.

@@ -135,6 +135,18 @@ class DataLoader:
                 yield self._collate([f.result() for f in futs])
 
 
+def pad_batch_to(arrays, batch_size):
+    """Pad each array's leading dim to batch_size by repeating the last
+    row (static shapes for the final partial eval batch); returns the
+    padded arrays plus the valid count."""
+    valid = arrays[0].shape[0]
+    if valid == batch_size:
+        return list(arrays) + [valid]
+    reps = batch_size - valid
+    return [np.concatenate([a, np.repeat(a[-1:], reps, axis=0)])
+            for a in arrays] + [valid]
+
+
 def device_prefetch(iterator, size=2, sharding=None):
     """Prefetch host batches into device memory (double buffering).
 

@@ -15,21 +15,18 @@ eval_func/cider/cider_scorer.py):
 """
 
 import math
-from collections import Counter, defaultdict
+from collections import defaultdict
 
 import numpy as np
+
+from .bleu import ngram_counts as _word_ngram_counts
 
 N_DEFAULT = 4
 SIGMA_DEFAULT = 6.0
 
 
 def ngram_counts(sentence, n):
-    words = sentence.split()
-    counts = Counter()
-    for k in range(1, n + 1):
-        for i in range(len(words) - k + 1):
-            counts[tuple(words[i: i + k])] += 1
-    return counts
+    return _word_ngram_counts(sentence.split(), n)
 
 
 def _tfidf_vec(cnts, doc_freq, ref_len, n):

@@ -19,6 +19,7 @@ TPU-native design notes:
 import jax
 import jax.numpy as jnp
 
+from .encoder import _torch_linear_init as _linear
 from .lstm import init_lstm, lstm_cell
 
 
@@ -34,18 +35,6 @@ class AttentionDecoderParams:
 
 
 ENCODER_DIM = 2048  # reference: attention.py:87 'Set in stone'.
-
-
-def _linear(key, fan_in, fan_out, dtype=jnp.float32):
-    import math
-
-    bound = 1.0 / math.sqrt(fan_in)
-    wkey, bkey = jax.random.split(key)
-    return {
-        "w": jax.random.uniform(wkey, (fan_in, fan_out), dtype,
-                                -bound, bound),
-        "b": jax.random.uniform(bkey, (fan_out,), dtype, -bound, bound),
-    }
 
 
 def init_attention_decoder(key, params, encoder_dim=ENCODER_DIM,

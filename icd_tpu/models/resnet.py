@@ -18,7 +18,6 @@ expansion 4 -> 2048 final channels at stride 32.
 """
 
 import math
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -286,6 +285,3 @@ def from_torch_state_dict(state_dict, depths=RESNET101_DEPTHS,
             blocks.append(block)
         params["layers"].append(blocks)
     return params
-
-
-resnet101_forward = partial(resnet_forward)

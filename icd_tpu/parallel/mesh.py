@@ -32,6 +32,18 @@ def make_mesh(n_data=None, n_model=1, devices=None):
     return Mesh(devices, ("data", "model"))
 
 
+def make_data_mesh(batch_size, devices=None):
+    """Pure-DP mesh over the most devices that divide batch_size."""
+    if devices is None:
+        devices = jax.devices()
+    n_data = 1
+    for d in range(len(devices), 0, -1):
+        if batch_size % d == 0:
+            n_data = d
+            break
+    return make_mesh(n_data=n_data, n_model=1, devices=devices)
+
+
 def replicated(mesh):
     return NamedSharding(mesh, P())
 

@@ -24,17 +24,18 @@ import optax
 
 from ..checkpoint import load_checkpoint, save_checkpoint, unpack_checkpoint
 from ..data.dataset import COCODataset
-from ..data.pipeline import DataLoader, device_prefetch
+from ..data.pipeline import DataLoader, device_prefetch, pad_batch_to
 from ..metric import AccumulatingMetric, get_eval_score
 from ..models.attention import (
     AttentionDecoderParams, attention_decoder_forward,
     init_attention_decoder, load_pretrained_embeddings)
 from ..models.encoder import (
     encoder_attention_forward, init_encoder_attention, trainable_mask)
-from ..parallel.mesh import batch_sharding, make_mesh
-from ..training.baseline import make_optimizer_for
+from ..parallel.mesh import batch_sharding, make_data_mesh, replicated
+from ..training.baseline import make_optimizer_for, pretrained_resnet_or_none
 from ..training.common import (
     doubly_stochastic_regularizer, merge, partition)
+from ..utils.profiling import maybe_profile
 from ..vocabulary import END_TOKEN, PAD_TOKEN, START_TOKEN
 
 
@@ -49,8 +50,6 @@ def build_attention(args, vocab, rng):
 
     enc_key, dec_key = jax.random.split(rng)
     encoder = init_encoder_attention(enc_key)
-    from .baseline import pretrained_resnet_or_none
-
     pretrained = pretrained_resnet_or_none()
     if pretrained is not None:
         encoder = dict(encoder, resnet=pretrained)
@@ -130,12 +129,7 @@ def train(args, mesh=None):
         pad_to_multiple=0)
 
     if mesh is None:
-        n_data = 1
-        for d in range(len(jax.devices()), 0, -1):
-            if args.batch_size % d == 0:
-                n_data = d
-                break
-        mesh = make_mesh(n_data=n_data, n_model=1)
+        mesh = make_data_mesh(args.batch_size)
 
     rng = jax.random.PRNGKey(0)
     if args.checkpoint is None:
@@ -180,8 +174,6 @@ def train(args, mesh=None):
     step_fn = jax.jit(make_train_step(
         mask, tx, args.alpha_c, args.decoder_dropout))
 
-    from ..utils.profiling import maybe_profile
-
     num_batches = len(loader)
     epoch_losses = metrics.get("epoch_losses", [])
     step_rng = jax.random.PRNGKey(1)
@@ -191,8 +183,6 @@ def train(args, mesh=None):
             accum_loss = AccumulatingMetric()
             accum_time = AccumulatingMetric()
             start = time.time()
-
-            from ..parallel.mesh import replicated
 
             n_data = mesh.shape.get("data", 1)
             batches = device_prefetch(
@@ -291,18 +281,11 @@ def evaluate(args, encoder, decoder, batch_size=64):
     start_time = time.time()
     print("Started validation...")
     for batch_idx, batch in enumerate(iter(loader)):
-        imgs = batch["imgs"]
-        captions = batch["captions"]
         # Batch-1 semantics: each sample's decode length is its own
         # caption length - 1 (no padding exists at batch 1).
-        lengths = batch["caption_lengths"]
-        valid = imgs.shape[0]
-        if valid < batch_size:
-            reps = batch_size - valid
-            imgs = np.concatenate([imgs, np.repeat(imgs[-1:], reps, 0)])
-            captions = np.concatenate(
-                [captions, np.repeat(captions[-1:], reps, 0)])
-            lengths = np.concatenate([lengths, np.repeat(lengths[-1:], reps)])
+        imgs, captions, lengths, valid = pad_batch_to(
+            (batch["imgs"], batch["captions"], batch["caption_lengths"]),
+            batch_size)
 
         per_sample, preds = step(
             encoder, decoder, imgs, captions,

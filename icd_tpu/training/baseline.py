@@ -30,15 +30,16 @@ import optax
 
 from ..checkpoint import load_checkpoint, save_checkpoint, unpack_checkpoint
 from ..data.dataset import COCODataset
-from ..data.pipeline import DataLoader, device_prefetch
+from ..data.pipeline import DataLoader, device_prefetch, pad_batch_to
 from ..metric import AccumulatingMetric, get_eval_score
 from ..models.baseline import (
     BaselineDecoderParams, baseline_decoder_forward, init_baseline_decoder,
     load_pretrained_embeddings)
 from ..models.encoder import encoder_forward, init_encoder, trainable_mask
-from ..parallel.mesh import make_mesh
+from ..parallel.mesh import batch_sharding, make_data_mesh, replicated
 from ..training.common import (
     cross_entropy, make_optimizer, merge, partition)
+from ..utils.profiling import maybe_profile
 from ..vocabulary import END_TOKEN, PAD_TOKEN, START_TOKEN
 
 
@@ -149,12 +150,7 @@ def train(args, mesh=None):
         num_workers=args.workers, pad_idx=pad_idx, drop_last=False)
 
     if mesh is None:
-        n_data = 1
-        for d in range(len(jax.devices()), 0, -1):
-            if args.batch_size % d == 0:
-                n_data = d
-                break
-        mesh = make_mesh(n_data=n_data, n_model=1)
+        mesh = make_data_mesh(args.batch_size)
 
     rng = jax.random.PRNGKey(0)
     if args.checkpoint is None:
@@ -190,8 +186,6 @@ def train(args, mesh=None):
 
     step_fn = jax.jit(make_train_step(pad_idx, mask, tx))
 
-    from ..utils.profiling import maybe_profile
-
     train_start = time.time()
     num_batches = len(loader)
     epoch_losses = metrics.get("epoch_losses", [])
@@ -201,8 +195,6 @@ def train(args, mesh=None):
             accum_loss = AccumulatingMetric()
             accum_time = AccumulatingMetric()
             start = time.time()
-
-            from ..parallel.mesh import batch_sharding, replicated
 
             n_data = mesh.shape.get("data", 1)
             batches = device_prefetch(
@@ -291,18 +283,9 @@ def evaluate(args, encoder, decoder, batch_size=64):
     start_time = time.time()
     print("Started validation...")
     for batch_idx, batch in enumerate(iter(loader)):
-        imgs = batch["imgs"]
-        captions = batch["captions"]
-        lengths = batch["caption_lengths"]
-        valid = imgs.shape[0]
-        if valid < batch_size:  # pad final partial batch to fixed shape
-            reps = batch_size - valid
-            imgs = np.concatenate([imgs, np.repeat(
-                imgs[-1:], reps, axis=0)])
-            captions = np.concatenate([captions, np.repeat(
-                captions[-1:], reps, axis=0)])
-            lengths = np.concatenate([lengths, np.repeat(
-                lengths[-1:], reps)])
+        imgs, captions, lengths, valid = pad_batch_to(
+            (batch["imgs"], batch["captions"], batch["caption_lengths"]),
+            batch_size)
 
         per_sample, preds = step(
             encoder, decoder, imgs, captions,
