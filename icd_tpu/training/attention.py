@@ -265,8 +265,9 @@ def evaluate(args, encoder, decoder, batch_size=64):
     vocab = dataset.vocab
     special = {vocab(START_TOKEN), vocab(END_TOKEN), vocab(PAD_TOKEN)}
 
-    # Don't compile a batch-64 program for a tiny validation set.
-    batch_size = max(1, min(batch_size, len(dataset)))
+    # Don't compile a batch-64 program for a tiny validation set; snap to
+    # power-of-two tiers so dataset size doesn't mint unique XLA shapes.
+    batch_size = min(batch_size, 1 << max(0, (len(dataset) - 1)).bit_length())
     loader = DataLoader(
         dataset, batch_size=batch_size, shuffle=True, num_workers=2,
         pad_idx=vocab(PAD_TOKEN), drop_last=False)
