@@ -27,12 +27,16 @@ from ..vocabulary import END_TOKEN, START_TOKEN, load_vocab
 from .coco import COCO
 from .tokenize import word_tokenize
 
-try:
-    if os.environ.get("ICD_TPU_NO_NATIVE_LOADER"):
-        raise ImportError
-    from ..native.imageio import decode_resize_jpeg as _native_decode
-except Exception:  # native lib unavailable: PIL path only
-    _native_decode = None
+# The native loader's pixels differ from PIL's by <1 LSB on average
+# (different IDCT scaling + filter rounding) — enough to nudge losses.
+# Reference parity is the default, so the fast path is OPT-IN via
+# ICD_TPU_NATIVE_LOADER=1.
+_native_decode = None
+if os.environ.get("ICD_TPU_NATIVE_LOADER"):
+    try:
+        from ..native.imageio import decode_resize_jpeg as _native_decode
+    except Exception:  # native lib unavailable: PIL path only
+        _native_decode = None
 
 IMG_SIZE = 224  # transforms.Resize((224, 224)) in all reference drivers.
 

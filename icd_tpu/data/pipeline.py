@@ -135,6 +135,12 @@ class DataLoader:
                 yield self._collate([f.result() for f in futs])
 
 
+def snap_eval_batch(dataset_len, batch_size):
+    """Clamp the eval device batch to a power-of-two tier covering the
+    dataset, so dataset size doesn't mint unique XLA shapes."""
+    return min(batch_size, 1 << max(0, dataset_len - 1).bit_length())
+
+
 def pad_batch_to(arrays, batch_size):
     """Pad each array's leading dim to batch_size by repeating the last
     row (static shapes for the final partial eval batch); returns the

@@ -118,12 +118,12 @@ void resize_triangle(const std::vector<uint8_t>& src, int sh, int sw,
 
 }  // namespace
 
-extern "C" {
-
-// Decode a JPEG and resize to (out_h, out_w) RGB. Returns 1 on success.
-// out must hold out_h * out_w * 3 bytes.
-int icd_decode_resize_jpeg(const uint8_t* data, uint64_t len,
-                           uint64_t out_h, uint64_t out_w, uint8_t* out) {
+// All libjpeg work happens here with only POD locals, so the
+// error-handler longjmp never skips a live C++ destructor; the pixel
+// buffer is owned by the caller and survives the jump.
+static int decode_impl(const uint8_t* data, uint64_t len,
+                       uint64_t out_h, uint64_t out_w,
+                       std::vector<uint8_t>* buf, int* sh, int* sw) {
   jpeg_decompress_struct cinfo;
   ErrorMgr err;
   cinfo.err = jpeg_std_error(&err.pub);
@@ -152,17 +152,28 @@ int icd_decode_resize_jpeg(const uint8_t* data, uint64_t len,
   cinfo.scale_denom = denom;
 
   jpeg_start_decompress(&cinfo);
-  const int sw = cinfo.output_width;
-  const int sh = cinfo.output_height;
-  std::vector<uint8_t> buf(static_cast<size_t>(sw) * sh * 3);
+  *sw = cinfo.output_width;
+  *sh = cinfo.output_height;
+  buf->resize(static_cast<size_t>(*sw) * *sh * 3);
   while (cinfo.output_scanline < cinfo.output_height) {
-    uint8_t* rowp = buf.data()
-        + static_cast<size_t>(cinfo.output_scanline) * sw * 3;
+    uint8_t* rowp = buf->data()
+        + static_cast<size_t>(cinfo.output_scanline) * *sw * 3;
     jpeg_read_scanlines(&cinfo, &rowp, 1);
   }
   jpeg_finish_decompress(&cinfo);
   jpeg_destroy_decompress(&cinfo);
+  return 1;
+}
 
+extern "C" {
+
+// Decode a JPEG and resize to (out_h, out_w) RGB. Returns 1 on success.
+// out must hold out_h * out_w * 3 bytes.
+int icd_decode_resize_jpeg(const uint8_t* data, uint64_t len,
+                           uint64_t out_h, uint64_t out_w, uint8_t* out) {
+  std::vector<uint8_t> buf;
+  int sh = 0, sw = 0;
+  if (!decode_impl(data, len, out_h, out_w, &buf, &sh, &sw)) return 0;
   resize_triangle(buf, sh, sw, out,
                   static_cast<int>(out_h), static_cast<int>(out_w));
   return 1;

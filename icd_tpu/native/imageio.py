@@ -1,10 +1,25 @@
-"""ctypes binding for the native JPEG decode+resize loader."""
+"""ctypes binding for the native JPEG decode+resize loader.
+
+Lives in its own shared library (libicdimage.so) because it needs
+libjpeg — environments without it keep the mask/JSON native features
+and fall back to PIL for image loading (ImportError here is caught by
+icd_tpu.data.dataset).
+"""
 
 import ctypes
+import os
+import subprocess
 
 import numpy as np
 
-from .mask import _lib
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_LIB_PATH = os.path.join(_DIR, "libicdimage.so")
+
+subprocess.run(["make", "-C", _DIR, "libicdimage.so"],
+               capture_output=True, text=True)
+if not os.path.exists(_LIB_PATH):
+    raise ImportError("libicdimage.so unavailable (libjpeg missing?)")
+_lib = ctypes.CDLL(_LIB_PATH)
 
 _lib.icd_decode_resize_jpeg.restype = ctypes.c_int
 _lib.icd_decode_resize_jpeg.argtypes = [

@@ -20,13 +20,14 @@ _LIB_PATH = os.path.join(_DIR, "libicdmask.so")
 
 
 def _load():
-    if not os.path.exists(_LIB_PATH):
-        proc = subprocess.run(["make", "-C", _DIR], capture_output=True,
-                              text=True)
-        if proc.returncode != 0:
-            raise RuntimeError(
-                "building libicdmask.so failed:\n{}\n{}".format(
-                    proc.stdout, proc.stderr))
+    # Always invoke make: it is a no-op when the .so is current and
+    # rebuilds when any source file is newer (stale-binary safety).
+    proc = subprocess.run(["make", "-C", _DIR], capture_output=True,
+                          text=True)
+    if proc.returncode != 0 and not os.path.exists(_LIB_PATH):
+        raise RuntimeError(
+            "building libicdmask.so failed:\n{}\n{}".format(
+                proc.stdout, proc.stderr))
     lib = ctypes.CDLL(_LIB_PATH)
     u64, u32p, u64p, u8p, dp, cp = (
         ctypes.c_uint64, ctypes.POINTER(ctypes.c_uint32),

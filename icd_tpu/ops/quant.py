@@ -48,4 +48,8 @@ def int8_conv(x, w, stride=1, padding=0):
         xq, wq, window_strides=stride, padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.int32)
-    return acc.astype(jnp.float32) * (xs * ws)
+    # Dequantize into the surrounding compute dtype (bf16 on the serving
+    # path) so inter-layer tensors don't silently widen to f32.
+    out_dtype = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) \
+        else jnp.float32
+    return (acc.astype(jnp.float32) * (xs * ws)).astype(out_dtype)

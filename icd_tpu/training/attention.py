@@ -24,7 +24,8 @@ import optax
 
 from ..checkpoint import load_checkpoint, save_checkpoint, unpack_checkpoint
 from ..data.dataset import COCODataset
-from ..data.pipeline import DataLoader, device_prefetch, pad_batch_to
+from ..data.pipeline import (
+    DataLoader, device_prefetch, pad_batch_to, snap_eval_batch)
 from ..metric import AccumulatingMetric, get_eval_score
 from ..models.attention import (
     AttentionDecoderParams, attention_decoder_forward,
@@ -265,9 +266,7 @@ def evaluate(args, encoder, decoder, batch_size=64):
     vocab = dataset.vocab
     special = {vocab(START_TOKEN), vocab(END_TOKEN), vocab(PAD_TOKEN)}
 
-    # Don't compile a batch-64 program for a tiny validation set; snap to
-    # power-of-two tiers so dataset size doesn't mint unique XLA shapes.
-    batch_size = min(batch_size, 1 << max(0, (len(dataset) - 1)).bit_length())
+    batch_size = snap_eval_batch(len(dataset), batch_size)
     loader = DataLoader(
         dataset, batch_size=batch_size, shuffle=True, num_workers=2,
         pad_idx=vocab(PAD_TOKEN), drop_last=False)

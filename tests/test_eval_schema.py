@@ -32,7 +32,7 @@ def test_schema_matches_reference(use_coco_root, monkeypatch):
             assert isinstance(ours[key], list)
             assert all(isinstance(v, float) for v in ours[key])
         else:
-            assert isinstance(val, float) and isinstance(
-                float(ours[key]), float)
+            assert isinstance(val, float)
+            assert isinstance(ours[key], float), (key, type(ours[key]))
     # json-serializable end to end (what eval.py dumps).
     json.dumps(ours)
