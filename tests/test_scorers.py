@@ -50,6 +50,43 @@ def _random_corpus(n_images, vocab=30, seed=0):
     return gts, res
 
 
+def _edge_corpus():
+    """Degenerate shapes: single-word hyps (zero n-gram guesses for
+    n>1), identical refs, repeated tokens, hyp longer than every ref."""
+    gts = [
+        ["5"],                      # one-word ref
+        ["1 1 1 1", "1 1"],         # repeated tokens, identical-ish refs
+        ["2 3", "2 3"],             # duplicated refs
+        ["7 8 9"],
+    ]
+    res = [["5"], ["1 1 1"], ["2"], ["7 8 9 10 11 12 13"]]
+    return gts, res
+
+
+def test_bleu_edge_cases_match_reference():
+    RefBleu, _, _ = _reference_scorers()
+    gts, res = _edge_corpus()
+    ours, _ = Bleu(4).compute_score(gts, res)
+    theirs, _ = RefBleu(4).compute_score(gts, res)
+    np.testing.assert_allclose(ours, theirs, rtol=1e-12)
+
+
+def test_cider_edge_cases_match_reference():
+    _, RefCider, _ = _reference_scorers()
+    gts, res = _edge_corpus()
+    ours, ours_per = Cider().compute_score(gts, res)
+    theirs, theirs_per = RefCider().compute_score(gts, res)
+    np.testing.assert_allclose(ours_per, theirs_per, rtol=1e-12)
+
+
+def test_rouge_edge_cases_match_reference():
+    _, _, RefRouge = _reference_scorers()
+    gts, res = _edge_corpus()
+    ours, ours_per = Rouge().compute_score(gts, res)
+    theirs, theirs_per = RefRouge().compute_score(gts, res)
+    np.testing.assert_allclose(ours_per, theirs_per, rtol=1e-12)
+
+
 @pytest.mark.parametrize("seed,n", [(0, 1), (1, 2), (2, 7), (3, 40)])
 def test_bleu_matches_reference(seed, n):
     RefBleu, _, _ = _reference_scorers()
