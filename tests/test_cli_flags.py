@@ -1,8 +1,20 @@
 """CLI flag parity: our parsers expose exactly the reference's flags."""
 
+import importlib.util
+import os
 import re
 
-import pytest
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load_our_train():
+    # Load by explicit path: other tests put /root/reference on sys.path,
+    # where a different train.py lives.
+    spec = importlib.util.spec_from_file_location(
+        "icd_train_cli", os.path.join(REPO, "train.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
 
 
 def _reference_flags(path):
@@ -25,8 +37,7 @@ def _our_flags(parser):
 
 
 def test_train_flags_match_reference():
-    import train as our_train
-
+    our_train = _load_our_train()
     ref = _reference_flags("/root/reference/train.py")
     ours = _our_flags(our_train.build_parser())
     assert ref == ours, (sorted(ref - ours), sorted(ours - ref))
@@ -47,9 +58,7 @@ def test_init_flags_match_reference():
 
 def test_train_defaults_match_reference():
     """Spot-check defaults and choices against the reference source."""
-    import train as our_train
-
-    parser = our_train.build_parser()
+    parser = _load_our_train().build_parser()
     by_dest = {a.dest: a for a in parser._actions}
     assert by_dest["attention_dim"].default == 512
     assert by_dest["embed_size"].default == 512
