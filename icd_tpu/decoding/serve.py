@@ -23,6 +23,10 @@ def make_captioner(encoder_params, decoder_params, start_id, end_id,
     """
     decoder_cast = jax.tree_util.tree_map(
         lambda x: x.astype(compute_dtype), decoder_params)
+    # Pre-cast once at build time; the in-jit cast then becomes a no-op
+    # (saves ~170MB of f32->bf16 conversion per un-batched dispatch).
+    encoder_cast = jax.tree_util.tree_map(
+        lambda x: x.astype(compute_dtype), encoder_params)
     conv = None
     if int8:
         from ..ops.quant import int8_conv
@@ -32,7 +36,7 @@ def make_captioner(encoder_params, decoder_params, start_id, end_id,
     @jax.jit
     def caption(imgs):
         feats, _ = encoder_forward(
-            encoder_params, imgs, train=False, compute_dtype=compute_dtype,
+            encoder_cast, imgs, train=False, compute_dtype=compute_dtype,
             conv=conv)
         return greedy_decode_baseline(
             decoder_cast, feats.astype(compute_dtype), start_id, end_id,
@@ -51,11 +55,13 @@ def make_attention_captioner(encoder_params, decoder_params, start_id,
 
     decoder_cast = jax.tree_util.tree_map(
         lambda x: x.astype(compute_dtype), decoder_params)
+    encoder_cast = jax.tree_util.tree_map(
+        lambda x: x.astype(compute_dtype), encoder_params)
 
     @jax.jit
     def caption(imgs):
         grid, _ = encoder_attention_forward(
-            encoder_params, imgs, train=False, compute_dtype=compute_dtype)
+            encoder_cast, imgs, train=False, compute_dtype=compute_dtype)
         return greedy_decode_attention(
             decoder_cast, grid.astype(compute_dtype), start_id, end_id,
             max_len=max_len)
