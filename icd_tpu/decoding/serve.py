@@ -80,12 +80,14 @@ def make_repeat_captioner(encoder_params, decoder_params, start_id, end_id,
     """
     decoder_cast = jax.tree_util.tree_map(
         lambda x: x.astype(compute_dtype), decoder_params)
+    encoder_cast = jax.tree_util.tree_map(
+        lambda x: x.astype(compute_dtype), encoder_params)
 
     @jax.jit
     def caption_many(imgs, salt):
         def body(i, acc):
             feats, _ = encoder_forward(
-                encoder_params, imgs + (i + salt).astype(jnp.uint8),
+                encoder_cast, imgs + (i + salt).astype(jnp.uint8),
                 train=False, compute_dtype=compute_dtype)
             toks = greedy_decode_baseline(
                 decoder_cast, feats.astype(compute_dtype), start_id,
