@@ -10,7 +10,9 @@ import icd_tpu.training.baseline as tb
 from icd_tpu.data.embed import generate_glove_vectors, load_glove_vectors
 from icd_tpu.vocabulary import load_vocab
 
-from helpers import make_train_args, small_init_encoder
+from helpers import (
+    SMALL_DIM, make_train_args, small_init_encoder,
+    small_init_encoder_attention)
 
 
 def _write_glove_txt(path, words, dim=300, seed=0):
@@ -59,6 +61,38 @@ def test_use_glove_driver(use_coco_root, tmp_path, monkeypatch):
         decoder_dim=12, workers=0, use_glove=True)
     params = tb.train(args)
     # The decoder embedding must be the GloVe matrix (frozen by default).
+    glove = load_glove_vectors(
+        os.path.join(glove_dir, "glove_vectors.pkl"))
+    np.testing.assert_allclose(
+        np.asarray(params["decoder"]["embedding"]), glove, atol=1e-6)
+
+
+def test_use_glove_attention_driver(use_coco_root, tmp_path, monkeypatch):
+    import functools
+
+    import icd_tpu.models.attention as ma
+    import icd_tpu.training.attention as ta
+
+    monkeypatch.setattr(
+        ta, "init_encoder_attention", small_init_encoder_attention)
+    monkeypatch.setattr(
+        ta, "init_attention_decoder",
+        functools.partial(ma.init_attention_decoder,
+                          encoder_dim=SMALL_DIM))
+    vocab = load_vocab()
+    txt = str(tmp_path / "g.txt")
+    _write_glove_txt(txt, ["a", "man", "horse"], dim=300)
+    glove_dir = os.path.join(use_coco_root, "glove.6B")
+    os.makedirs(glove_dir, exist_ok=True)
+    generate_glove_vectors(
+        vocab=vocab, glove_txt=txt,
+        out_path=os.path.join(glove_dir, "glove_vectors.pkl"))
+
+    args = make_train_args(
+        model_name="att_glove", model="attention", batch_size=4,
+        epochs=1, embed_size=300, decoder_dim=12, attention_dim=10,
+        workers=0, use_glove=True)
+    params = ta.train(args)
     glove = load_glove_vectors(
         os.path.join(glove_dir, "glove_vectors.pkl"))
     np.testing.assert_allclose(
