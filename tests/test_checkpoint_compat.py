@@ -8,7 +8,7 @@ import torch.nn as nn
 
 from icd_tpu.checkpoint import load_checkpoint, unpack_checkpoint
 
-from test_convert import RefNamedBaselineDecoder
+from test_convert import RefNamedAttentionDecoder, RefNamedBaselineDecoder
 from test_resnet import DEPTHS, WIDTHS, TorchMiniResNet
 
 
@@ -51,3 +51,24 @@ def test_load_reference_pth_tar(use_coco_root):
         decoder.embedding.weight.detach().numpy(), atol=1e-7)
     assert enc["resnet"]["stem"]["conv"].shape == (7, 7, 3, WIDTHS[0])
     assert enc["embed"]["w"].shape == (WIDTHS[-1] * 4, 16)
+    assert chkpt["config"]["model"] == "baseline"  # auto-detected
+
+
+def test_load_reference_attention_pth_tar(use_coco_root):
+    torch.manual_seed(1)
+    backbone = TorchMiniResNet(DEPTHS, WIDTHS).eval()
+    encoder = RefEncoder(backbone)
+    decoder = RefNamedAttentionDecoder(WIDTHS[-1] * 4, 10, 12, 8, 19)
+    state = {"epoch": 1, "metrics": {}, "encoder": encoder,
+             "decoder": decoder, "encoder_optimizer": None,
+             "decoder_optimizer": None}
+    path = os.path.join(use_coco_root, "checkpoints", "refatt_1.pth.tar")
+    torch.save(state, path)
+
+    chkpt = load_checkpoint(name="refatt_1.pth.tar")
+    assert chkpt["config"]["model"] == "attention"  # auto-detected
+    dec = chkpt["decoder"]
+    assert set(dec) >= {"attention", "lstm", "h_lin", "c_lin", "f_beta",
+                        "fc", "embedding"}
+    np.testing.assert_allclose(
+        dec["fc"]["w"], decoder.fc.weight.detach().numpy().T, atol=1e-7)
