@@ -8,10 +8,13 @@ runtime) is unavailable the scorer degrades to zeros with a one-time
 warning instead of crashing the whole evaluation — the reference snapshot
 itself ships without the jar (.MISSING_LARGE_BLOBS).
 
-Set METEOR_JAR to point at meteor-1.5.jar (default: this directory).
+Set METEOR_JAR to point at meteor-1.5.jar (default: this directory), or
+METEOR_CMD to a full command line speaking the same stdio protocol
+(used by tests and alternative scorer binaries).
 """
 
 import os
+import shlex
 import shutil
 import subprocess
 import threading
@@ -26,16 +29,26 @@ def _jar_path():
                         "meteor-1.5.jar")
 
 
+def _build_command():
+    override = os.environ.get("METEOR_CMD")
+    if override:
+        return shlex.split(override), None
+    jar = _jar_path()
+    if os.path.exists(jar) and shutil.which("java"):
+        return (["java", "-jar", "-Xmx2G", jar,
+                 "-", "-", "-stdio", "-l", "en", "-norm"],
+                os.path.dirname(jar))
+    return None, None
+
+
 class Meteor:
     def __init__(self):
         self.lock = threading.Lock()
         self.meteor_p = None
-        jar = _jar_path()
-        if os.path.exists(jar) and shutil.which("java"):
-            cmd = ["java", "-jar", "-Xmx2G", jar,
-                   "-", "-", "-stdio", "-l", "en", "-norm"]
+        cmd, cwd = _build_command()
+        if cmd is not None:
             self.meteor_p = subprocess.Popen(
-                cmd, cwd=os.path.dirname(jar),
+                cmd, cwd=cwd,
                 stdin=subprocess.PIPE, stdout=subprocess.PIPE,
                 stderr=subprocess.PIPE)
         else:
