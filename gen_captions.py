@@ -47,6 +47,7 @@ def main():
                         help="beam size.")
     args = parser.parse_args()
 
+    import jax
     import jax.numpy as jnp
 
     from icd_tpu.checkpoint import load_checkpoint, unpack_checkpoint
@@ -54,8 +55,6 @@ def main():
 
     chkpt = load_checkpoint(args)
     _, encoder, decoder, _, _, _ = unpack_checkpoint(chkpt)
-    import jax
-
     encoder = jax.tree_util.tree_map(jnp.asarray, encoder)
     decoder = jax.tree_util.tree_map(jnp.asarray, decoder)
     vocab = load_vocab()
