@@ -21,6 +21,20 @@ Layout:
 
 __version__ = "0.1.0"
 
+# Restore the standard JAX_PLATFORMS env contract: the axon PJRT
+# sitecustomize in this environment registers the TPU plugin in a way
+# that wins over the env var, so honor it explicitly via the config API
+# (must happen before the backend initializes).
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS"):
+    try:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass
+
 
 def __getattr__(name):
     # Lazy top-level conveniences (avoid importing jax at package import).

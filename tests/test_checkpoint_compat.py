@@ -54,6 +54,45 @@ def test_load_reference_pth_tar(use_coco_root):
     assert chkpt["config"]["model"] == "baseline"  # auto-detected
 
 
+def test_eval_cli_on_reference_checkpoint(use_coco_root):
+    """A user's reference-trained .pth.tar runs through our eval.py CLI
+    and produces the metrics JSON — the full switching path."""
+    import json
+    import subprocess
+    import sys
+
+    from icd_tpu.vocabulary import load_vocab
+
+    torch.manual_seed(2)
+    vocab = load_vocab()
+    backbone = TorchMiniResNet(DEPTHS, WIDTHS).eval()
+    encoder = RefEncoder(backbone, embed_out=16)
+    decoder = RefNamedBaselineDecoder(len(vocab), 16, 12)
+    state = {"epoch": 0, "metrics": {}, "encoder": encoder,
+             "decoder": decoder, "encoder_optimizer": None,
+             "decoder_optimizer": None}
+    path = os.path.join(use_coco_root, "checkpoints",
+                        "refcli_0.pth.tar")
+    torch.save(state, path)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, ICD_TPU_ROOT=use_coco_root,
+               JAX_PLATFORMS="cpu",
+               PYTHONPATH=repo + ":" + os.path.dirname(
+                   os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "eval.py"),
+         "refcli_0.pth.tar", "--model_type", "baseline",
+         "--print_freq", "10"],
+        cwd=use_coco_root, env=env, capture_output=True, text=True,
+        timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    result = os.path.join(use_coco_root, "eval_data", "refcli_0.json")
+    with open(result) as f:
+        metrics = json.load(f)
+    assert "Bleu_4" in metrics and len(metrics["losses"]) == 4
+
+
 def test_load_reference_attention_pth_tar(use_coco_root):
     torch.manual_seed(1)
     backbone = TorchMiniResNet(DEPTHS, WIDTHS).eval()
