@@ -98,6 +98,15 @@ def test_dp_only_matches_single_device():
     np.testing.assert_allclose(losses_1, losses_8, rtol=1e-5)
 
 
+def test_make_data_mesh_picks_largest_divisor():
+    from icd_tpu.parallel.mesh import make_data_mesh
+
+    assert make_data_mesh(32).shape["data"] == 8  # 8 virtual devices
+    assert make_data_mesh(12).shape["data"] == 6
+    assert make_data_mesh(7).shape["data"] == 7
+    assert make_data_mesh(13).shape["data"] == 1  # prime > devices
+
+
 def test_shard_batch_layout():
     mesh = make_mesh(n_data=4, n_model=2)
     batch = {"imgs": np.zeros((8, 4, 4, 3), np.uint8),
