@@ -45,6 +45,54 @@ def make_captioner(encoder_params, decoder_params, start_id, end_id,
     return caption
 
 
+def _build_int8_backbone(encoder_params, compute_dtype, calib_imgs=None,
+                         act_maxes=None):
+    """Calibrate (if needed) + quantize the backbone; returns
+    (qresnet, embed_cast, act_maxes)."""
+    from ..models.resnet_int8 import calibrate_act_maxes, quantize_resnet
+
+    if act_maxes is None:
+        if calib_imgs is None:
+            raise ValueError(
+                "int8 serving needs calib_imgs (batches of images) or "
+                "precomputed act_maxes")
+        act_maxes = calibrate_act_maxes(
+            encoder_params["resnet"], calib_imgs, compute_dtype)
+    qresnet = quantize_resnet(encoder_params["resnet"], act_maxes)
+    embed_cast = jax.tree_util.tree_map(
+        lambda x: x.astype(compute_dtype), encoder_params["embed"])
+    return qresnet, embed_cast, act_maxes
+
+
+def make_int8_captioner(encoder_params, decoder_params, start_id, end_id,
+                        max_len=25, compute_dtype=jnp.bfloat16,
+                        calib_imgs=None, act_maxes=None):
+    """Static-calibration W8A8 captioner: int8 backbone (2x MXU), bf16
+    head + decode. Pass a few representative image batches as
+    ``calib_imgs`` (or reuse saved ``act_maxes``); see
+    models/resnet_int8.py for the recipe."""
+    from ..models.resnet_int8 import resnet_int8_forward
+    from ..ops.image import normalize_imagenet
+
+    qresnet, embed, act_maxes = _build_int8_backbone(
+        encoder_params, compute_dtype, calib_imgs, act_maxes)
+    decoder_cast = jax.tree_util.tree_map(
+        lambda x: x.astype(compute_dtype), decoder_params)
+
+    @jax.jit
+    def caption(imgs):
+        x = normalize_imagenet(imgs) if imgs.dtype == jnp.uint8 else imgs
+        feats = resnet_int8_forward(qresnet, x.astype(compute_dtype),
+                                    out_dtype=compute_dtype)
+        pooled = jnp.mean(feats, axis=(1, 2))
+        emb = pooled.astype(embed["w"].dtype) @ embed["w"] + embed["b"]
+        return greedy_decode_baseline(
+            decoder_cast, emb, start_id, end_id, max_len=max_len)
+
+    caption.act_maxes = act_maxes
+    return caption
+
+
 def make_attention_captioner(encoder_params, decoder_params, start_id,
                              end_id, max_len=25,
                              compute_dtype=jnp.bfloat16):
@@ -95,4 +143,35 @@ def make_repeat_captioner(encoder_params, decoder_params, start_id, end_id,
             return acc + jnp.sum(toks)
         return jax.lax.fori_loop(0, repeats, body, jnp.int32(0))
 
+    return caption_many
+
+
+def make_int8_repeat_captioner(encoder_params, decoder_params, start_id,
+                               end_id, max_len=25,
+                               compute_dtype=jnp.bfloat16, repeats=10,
+                               calib_imgs=None, act_maxes=None):
+    """make_repeat_captioner over the static-int8 backbone (see
+    make_int8_captioner); used by bench tooling on high-latency links."""
+    from ..models.resnet_int8 import resnet_int8_forward
+    from ..ops.image import normalize_imagenet
+
+    qresnet, embed, act_maxes = _build_int8_backbone(
+        encoder_params, compute_dtype, calib_imgs, act_maxes)
+    decoder_cast = jax.tree_util.tree_map(
+        lambda x: x.astype(compute_dtype), decoder_params)
+
+    @jax.jit
+    def caption_many(imgs, salt):
+        def body(i, acc):
+            x = normalize_imagenet(imgs + (i + salt).astype(jnp.uint8))
+            feats = resnet_int8_forward(qresnet, x.astype(compute_dtype),
+                                        out_dtype=compute_dtype)
+            pooled = jnp.mean(feats, axis=(1, 2))
+            emb = pooled.astype(embed["w"].dtype) @ embed["w"] + embed["b"]
+            toks = greedy_decode_baseline(
+                decoder_cast, emb, start_id, end_id, max_len=max_len)
+            return acc + jnp.sum(toks)
+        return jax.lax.fori_loop(0, repeats, body, jnp.int32(0))
+
+    caption_many.act_maxes = act_maxes
     return caption_many

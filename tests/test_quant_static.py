@@ -1,0 +1,161 @@
+"""Static-calibration int8 backbone: BN folding, calibration, serving."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from icd_tpu.models.resnet import (
+    batch_norm, conv2d, init_resnet, resnet_forward)
+from icd_tpu.models.resnet_int8 import (
+    N_SITES_RESNET101, _qconv, calibrate_act_maxes,
+    collect_conv_input_maxes, quantize_resnet, resnet_int8_forward)
+
+
+def _jitter_bn(params, seed=1):
+    """Give BN nontrivial stats so folding is actually exercised."""
+    k = [seed]
+    for blocks in params["layers"]:
+        for b in blocks:
+            for name in b:
+                if not (name.startswith("bn") or name == "downsample"):
+                    continue
+                bn = b[name]["bn"] if name == "downsample" else b[name]
+                c = bn["mean"].shape[0]
+                kk = jax.random.PRNGKey(k[0])
+                k[0] += 1
+                bn["mean"] = jax.random.normal(kk, (c,)) * 0.1
+                bn["var"] = jnp.ones((c,)) + jax.random.uniform(kk, (c,)) * .5
+                bn["scale"] = 1 + jax.random.normal(kk, (c,)) * 0.1
+                bn["bias"] = jax.random.normal(kk, (c,)) * 0.05
+    return params
+
+
+def test_qconv_matches_conv_plus_bn():
+    """The folded site reproduces batch_norm(conv2d(x, w)) in eval mode."""
+    k = jax.random.PRNGKey(0)
+    x = jax.random.normal(k, (2, 10, 10, 8))
+    w = jax.random.normal(jax.random.PRNGKey(1), (3, 3, 8, 16)) * 0.1
+    bn = {
+        "scale": 1 + jax.random.normal(jax.random.PRNGKey(2), (16,)) * 0.2,
+        "bias": jax.random.normal(jax.random.PRNGKey(3), (16,)) * 0.1,
+        "mean": jax.random.normal(jax.random.PRNGKey(4), (16,)) * 0.1,
+        "var": jnp.ones((16,)) + jax.random.uniform(
+            jax.random.PRNGKey(5), (16,)),
+    }
+    ref, _ = batch_norm(conv2d(x, w, stride=1, padding=1), bn, train=False)
+
+    from icd_tpu.models.resnet_int8 import _quantize_site
+    site = _quantize_site(w, bn, float(jnp.max(jnp.abs(x))))
+    out = _qconv(x, site, stride=1, padding=1)
+    rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+    assert rel < 0.02, rel
+
+
+def test_site_count_and_order_resnet101_shape():
+    """Calibration emits one scale per conv site; quantize consumes all."""
+    params = init_resnet(jax.random.PRNGKey(0), (2, 2), (4, 8))
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 32, 32, 3))
+    maxes = collect_conv_input_maxes(params, x, compute_dtype=jnp.float32)
+    # 1 stem + 4 blocks * 3 convs + 2 downsamples
+    assert maxes.shape == (15,)
+    q = quantize_resnet(params, np.asarray(maxes))
+    assert len(q["layers"]) == 2 and "downsample" in q["layers"][1][0]
+    # ResNet-101 constant stays honest.
+    assert N_SITES_RESNET101 == 1 + sum((3, 4, 23, 3)) * 3 + 4
+
+
+def test_quantize_rejects_extra_scales():
+    params = init_resnet(jax.random.PRNGKey(0), (1,), (4,))
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 16, 3))
+    maxes = np.asarray(
+        collect_conv_input_maxes(params, x, compute_dtype=jnp.float32))
+    try:
+        quantize_resnet(params, np.concatenate([maxes, [1.0]]))
+    except ValueError as e:
+        assert "extra" in str(e)
+    else:
+        raise AssertionError("expected ValueError on extra scales")
+
+
+def test_int8_backbone_close_to_float():
+    params = _jitter_bn(init_resnet(jax.random.PRNGKey(0), (2, 2, 2),
+                                    (8, 16, 32)))
+    x = jax.random.normal(jax.random.PRNGKey(5), (2, 64, 64, 3))
+    ref, _ = resnet_forward(params, x, train=False)
+    maxes = calibrate_act_maxes(params, x, compute_dtype=jnp.float32)
+    q = quantize_resnet(params, maxes)
+    out = resnet_int8_forward(q, x, out_dtype=jnp.float32)
+    rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+    assert rel < 0.08, rel
+    corr = np.corrcoef(np.asarray(ref, np.float32).ravel(),
+                       np.asarray(out, np.float32).ravel())[0, 1]
+    assert corr > 0.99, corr
+
+
+def test_calibration_max_over_batches():
+    params = init_resnet(jax.random.PRNGKey(0), (1,), (4,))
+    b1 = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 16, 3))
+    b2 = b1 * 3.0
+    m1 = calibrate_act_maxes(params, b1, compute_dtype=jnp.float32)
+    m12 = calibrate_act_maxes(params, [b1, b2], compute_dtype=jnp.float32)
+    assert np.all(m12 >= m1)
+    assert m12[0] > m1[0] * 2.5  # first site sees the scaled input
+
+
+def test_int8_captioner_runs_and_matches_bf16_tokens_mostly():
+    """End-to-end serving path: jit-compiles from uint8 and decodes."""
+    from icd_tpu.decoding.serve import make_captioner, make_int8_captioner
+    from icd_tpu.models.baseline import (
+        BaselineDecoderParams, init_baseline_decoder)
+    from icd_tpu.models.encoder import init_encoder
+
+    p = BaselineDecoderParams()
+    p.vocab_size = 50
+    p.embed_size = 16
+    p.hidden_size = 16
+    encoder = init_encoder(jax.random.PRNGKey(0), 16)
+    # Shrink the backbone for test speed.
+    encoder["resnet"] = init_resnet(jax.random.PRNGKey(1), (1, 1),
+                                    (8, 16))
+    encoder["embed"] = {
+        "w": jax.random.normal(jax.random.PRNGKey(2), (64, 16)) * 0.1,
+        "b": jnp.zeros((16,)),
+    }
+    decoder = init_baseline_decoder(jax.random.PRNGKey(3), p)
+    imgs = jnp.asarray((jax.random.uniform(
+        jax.random.PRNGKey(4), (2, 32, 32, 3)) * 255).astype(jnp.uint8))
+
+    ref_fn = make_captioner(encoder, decoder, start_id=47, end_id=48,
+                            max_len=8, compute_dtype=jnp.float32)
+    int8_fn = make_int8_captioner(encoder, decoder, start_id=47, end_id=48,
+                                  max_len=8, compute_dtype=jnp.float32,
+                                  calib_imgs=imgs)
+    ref_toks = np.asarray(ref_fn(imgs))
+    toks = np.asarray(int8_fn(imgs))
+    assert toks.shape == ref_toks.shape
+    assert toks.dtype == ref_toks.dtype
+    # Reusing the saved scales reproduces the exact same program.
+    again = make_int8_captioner(encoder, decoder, start_id=47, end_id=48,
+                                max_len=8, compute_dtype=jnp.float32,
+                                act_maxes=int8_fn.act_maxes)
+    assert np.array_equal(np.asarray(again(imgs)), toks)
+
+
+def test_int8_captioner_requires_calibration():
+    from icd_tpu.decoding.serve import make_int8_captioner
+    from icd_tpu.models.baseline import (
+        BaselineDecoderParams, init_baseline_decoder)
+    from icd_tpu.models.encoder import init_encoder
+
+    p = BaselineDecoderParams()
+    p.vocab_size = 50
+    p.embed_size = 16
+    p.hidden_size = 16
+    encoder = init_encoder(jax.random.PRNGKey(0), 16)
+    decoder = init_baseline_decoder(jax.random.PRNGKey(1), p)
+    try:
+        make_int8_captioner(encoder, decoder, start_id=1, end_id=2)
+    except ValueError as e:
+        assert "calib" in str(e)
+    else:
+        raise AssertionError("expected ValueError without calibration")
