@@ -8,12 +8,18 @@ Baseline: the reference's best sustained throughput is ~246 captions/s
 north star is >=10x that on a v5e chip for encode + greedy decode at
 batch 64.
 
-Methodology: the whole encode+greedy-decode pipeline runs in bfloat16 as
-one jitted program; REPEATS perturbed batches are processed per
-dispatch and the measured host<->device roundtrip overhead is
-subtracted, because the dev tunnel to the chip adds ~30-60 ms per
-dispatch that real deployments don't pay. Results are fetched (not just
+Methodology: the whole encode+greedy-decode pipeline runs as one jitted
+program; REPEATS perturbed batches are processed per dispatch and the
+measured host<->device roundtrip overhead is subtracted, because the
+dev tunnel to the chip adds ~30-60 ms per dispatch that real
+deployments don't pay. Results are fetched (not just
 block_until_ready'd) to close the async pipeline.
+
+Serving configuration: static-calibration W8A8 int8 backbone
+(icd_tpu/models/resnet_int8.py) + bf16 decode — the production serving
+path. Quality-parity vs bf16 is validated (94.5% exact caption match,
+equal BLEU/CIDEr on a trained model; NOTES.md); set ICD_TPU_BENCH_BF16=1
+to bench the pure-bf16 path instead (8,955 captions/s measured).
 """
 
 import json
@@ -37,7 +43,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from icd_tpu.decoding.serve import make_repeat_captioner
+    from icd_tpu.decoding.serve import (
+        make_int8_repeat_captioner, make_repeat_captioner)
     from icd_tpu.models.baseline import (
         BaselineDecoderParams, init_baseline_decoder)
     from icd_tpu.models.encoder import init_encoder
@@ -51,34 +58,55 @@ def main():
     encoder = init_encoder(ekey, 512)
     decoder = init_baseline_decoder(dkey, p)
 
-    caption_many = make_repeat_captioner(
-        encoder, decoder, start_id=VOCAB - 3, end_id=VOCAB - 2,
-        max_len=DECODE_LEN, repeats=REPEATS)
-
     imgs = jnp.asarray(
         (jax.random.uniform(key, (BATCH, 224, 224, 3)) * 255).astype(
             jnp.uint8))
 
-    # Measure dispatch roundtrip overhead to subtract.
-    tiny = jax.jit(lambda s: s + 1)
-    np.asarray(tiny(jnp.int32(0)))
-    t0 = time.perf_counter()
-    np.asarray(tiny(jnp.int32(1)))
-    roundtrip = time.perf_counter() - t0
+    if os.environ.get("ICD_TPU_BENCH_BF16"):
+        label = "bf16"
+        caption_many = make_repeat_captioner(
+            encoder, decoder, start_id=VOCAB - 3, end_id=VOCAB - 2,
+            max_len=DECODE_LEN, repeats=REPEATS)
+    else:
+        label = "int8"
+        caption_many = make_int8_repeat_captioner(
+            encoder, decoder, start_id=VOCAB - 3, end_id=VOCAB - 2,
+            max_len=DECODE_LEN, repeats=REPEATS, calib_imgs=imgs)
 
-    # Warmup / compile.
-    np.asarray(caption_many(imgs, jnp.int32(0)))
+    # Per-run random salt base: (a) defeats the tunnel's replay cache,
+    # which can serve identical (executable, args) calls from a recording
+    # (~0.02 ms), and (b) makes every run's timed args fresh.
+    salt_base = int.from_bytes(os.urandom(3), "little")
+
+    # Measure dispatch roundtrip overhead to subtract: min over several
+    # salted tiny calls (a single sample can hiccup by 2x and skew the
+    # subtraction).
+    tiny = jax.jit(lambda s: s + 1)
+    np.asarray(tiny(jnp.int32(salt_base)))
+    rts = []
+    for i in range(5):
+        t0 = time.perf_counter()
+        np.asarray(tiny(jnp.int32(salt_base + 1 + i)))
+        rts.append(time.perf_counter() - t0)
+    roundtrip = min(rts)
+
+    # Warmup / compile (salted so it can't be replay-served), plus one
+    # extra warm call: the first execution of a freshly-compiled program
+    # can read slow through the dev tunnel (NOTES.md).
+    np.asarray(caption_many(imgs, jnp.int32(salt_base + 10)))
+    np.asarray(caption_many(imgs, jnp.int32(salt_base + 11)))
 
     times = []
     for trial in range(TRIALS):
         t0 = time.perf_counter()
-        np.asarray(caption_many(imgs, jnp.int32(trial + 1)))
+        np.asarray(caption_many(imgs, jnp.int32(salt_base + 12 + trial)))
         times.append(time.perf_counter() - t0)
     step = (min(times) - roundtrip) / REPEATS
     value = BATCH / step
 
     print(json.dumps({
-        "metric": "captions/sec/chip (encode + greedy decode, batch 64)",
+        "metric": "captions/sec/chip ({} encode + greedy decode, "
+                  "batch 64)".format(label),
         "value": round(value, 2),
         "unit": "captions/s",
         "vs_baseline": round(value / BASELINE_CAPTIONS_PER_SEC, 3),

@@ -27,6 +27,10 @@ def main():
     parser.add_argument("--max_len", type=int, default=25)
     parser.add_argument("--max_caption_length", type=int, default=-1)
     parser.add_argument("--out", type=str, default=None)
+    parser.add_argument("--int8", action="store_true",
+                        help="serve the baseline encoder with the "
+                             "static-calibration int8 backbone "
+                             "(calibrated on the first val batch)")
     args = parser.parse_args()
 
     import jax
@@ -35,7 +39,7 @@ def main():
     from icd_tpu.checkpoint import load_checkpoint, unpack_checkpoint
     from icd_tpu.data.dataset import COCODataset
     from icd_tpu.decoding.serve import (
-        make_attention_captioner, make_captioner)
+        make_attention_captioner, make_captioner, make_int8_captioner)
     from icd_tpu.pathconf import PathConfig
     from icd_tpu.vocabulary import END_TOKEN, START_TOKEN
 
@@ -49,8 +53,18 @@ def main():
     start_id, end_id = vocab(START_TOKEN), vocab(END_TOKEN)
 
     if args.model_type == "baseline":
-        captioner = make_captioner(encoder, decoder, start_id, end_id,
-                                   max_len=args.max_len)
+        if args.int8:
+            calib = np.stack([
+                dataset._load_img(i)
+                for i in dataset.img_ids[:args.batch_size]])
+            captioner = make_int8_captioner(
+                encoder, decoder, start_id, end_id, max_len=args.max_len,
+                calib_imgs=jnp.asarray(calib))
+        else:
+            captioner = make_captioner(encoder, decoder, start_id, end_id,
+                                       max_len=args.max_len)
+    elif args.int8:
+        parser.error("--int8 currently supports --model_type baseline")
     else:
         att = make_attention_captioner(encoder, decoder, start_id,
                                        end_id, max_len=args.max_len)
