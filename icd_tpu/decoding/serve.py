@@ -117,6 +117,47 @@ def make_attention_captioner(encoder_params, decoder_params, start_id,
     return caption
 
 
+def make_int8_attention_captioner(encoder_params, decoder_params, start_id,
+                                  end_id, max_len=25,
+                                  compute_dtype=jnp.bfloat16,
+                                  calib_imgs=None, act_maxes=None):
+    """Static-int8 backbone + bf16 soft-attention decode.
+
+    The attention encoder has no Linear head (encoder_attention_forward
+    is backbone + 14x14 adaptive pool), so the quantized tree is built
+    from encoder_params['resnet'] alone.
+    """
+    from ..models.resnet import adaptive_avg_pool2d
+    from ..models.resnet_int8 import (
+        calibrate_act_maxes, quantize_resnet, resnet_int8_forward)
+    from ..ops.image import normalize_imagenet
+    from .greedy_attention import greedy_decode_attention
+    from ..models.encoder import ATTENTION_GRID
+
+    if act_maxes is None:
+        if calib_imgs is None:
+            raise ValueError(
+                "int8 serving needs calib_imgs (batches of images) or "
+                "precomputed act_maxes")
+        act_maxes = calibrate_act_maxes(
+            encoder_params["resnet"], calib_imgs, compute_dtype)
+    qresnet = quantize_resnet(encoder_params["resnet"], act_maxes)
+    decoder_cast = jax.tree_util.tree_map(
+        lambda x: x.astype(compute_dtype), decoder_params)
+
+    @jax.jit
+    def caption(imgs):
+        x = normalize_imagenet(imgs) if imgs.dtype == jnp.uint8 else imgs
+        feats = resnet_int8_forward(qresnet, x.astype(compute_dtype),
+                                    out_dtype=compute_dtype)
+        grid = adaptive_avg_pool2d(feats, ATTENTION_GRID)
+        return greedy_decode_attention(
+            decoder_cast, grid, start_id, end_id, max_len=max_len)
+
+    caption.act_maxes = act_maxes
+    return caption
+
+
 def make_repeat_captioner(encoder_params, decoder_params, start_id, end_id,
                           max_len=25, compute_dtype=jnp.bfloat16, repeats=10):
     """Captioner that processes `repeats` perturbed copies of the batch

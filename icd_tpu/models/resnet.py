@@ -73,8 +73,8 @@ def batch_norm(x, bn, train=False):
 
 def max_pool(x, window=3, stride=2, padding=1):
     """Max pooling over NHWC spatial dims, -inf padded (torch semantics)."""
-    neg = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(
-        x.dtype).min
+    neg = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.asarray(
+        jnp.iinfo(x.dtype).min, x.dtype)
     return jax.lax.reduce_window(
         x, neg, jax.lax.max,
         window_dimensions=(1, window, window, 1),

@@ -145,10 +145,14 @@ def quantize_resnet(params, act_maxes):
 # Serving forward
 # ---------------------------------------------------------------------------
 
-def _qconv(x, site, stride=1, padding=0):
-    """quantize(x) -> int8 conv (int32 acc) -> folded BN affine, f32 out."""
-    xi = jnp.clip(jnp.round(x.astype(jnp.float32) * site["inv_in"]),
-                  -127, 127).astype(jnp.int8)
+def _requant(x, inv_in):
+    """float -> symmetric s8 with the site's static scale."""
+    return jnp.clip(jnp.round(x.astype(jnp.float32) * inv_in),
+                    -127, 127).astype(jnp.int8)
+
+
+def _conv_affine(xi, site, stride=1, padding=0):
+    """s8 input -> int8 conv (int32 acc) -> folded BN affine, f32 out."""
     if isinstance(stride, int):
         stride = (stride, stride)
     if isinstance(padding, int):
@@ -160,24 +164,73 @@ def _qconv(x, site, stride=1, padding=0):
     return acc.astype(jnp.float32) * site["scale"] + site["bias"]
 
 
-def resnet_int8_forward(qparams, x, out_dtype=jnp.bfloat16):
+def _qconv(x, site, stride=1, padding=0):
+    """quantize(x) -> int8 conv -> folded BN affine, f32 out."""
+    return _conv_affine(_requant(x, site["inv_in"]), site,
+                        stride=stride, padding=padding)
+
+
+def resnet_int8_forward(qparams, x, out_dtype=jnp.bfloat16,
+                        residual="int8"):
     """(B, H, W, 3) normalized float -> stride-32 NHWC features.
 
-    Structure mirrors resnet_forward (inference mode only); activations
-    between blocks live in ``out_dtype``.
+    Structure mirrors resnet_forward (inference mode only).
+
+    residual="int8" (default) keeps the whole trunk int8-resident: each
+    block output is quantized ONCE with the next block's calibrated
+    conv1 input scale, and the shortcut add dequantizes from that same
+    s8 tensor — no bf16 intermediates materialize anywhere in the trunk
+    (a ~1.1 GB/step HBM saving at batch 64; the quantize even commutes
+    with the stem max-pool, which therefore runs on s8). The only extra
+    quantization vs residual="bf16" is that the shortcut read is the
+    8-bit value instead of the exact one; caption-level parity is
+    re-validated in NOTES.md. residual="bf16" is the conservative
+    variant that keeps block outputs in ``out_dtype``.
     """
-    out = max_pool(jax.nn.relu(
-        _qconv(x, qparams["stem"], stride=2, padding=3)).astype(out_dtype),
-        window=3, stride=2, padding=1)
-    for stage, blocks in enumerate(qparams["layers"]):
-        for b, qb in enumerate(blocks):
-            stride = 2 if (stage > 0 and b == 0) else 1
-            h = jax.nn.relu(_qconv(out, qb["conv1"]))
-            h = jax.nn.relu(_qconv(h, qb["conv2"], stride=stride, padding=1))
-            h = _qconv(h, qb["conv3"])
-            if "downsample" in qb:
-                shortcut = _qconv(out, qb["downsample"], stride=stride)
-            else:
-                shortcut = out.astype(jnp.float32)
-            out = jax.nn.relu(h + shortcut).astype(out_dtype)
-    return out
+    if residual not in ("int8", "bf16"):
+        raise ValueError("residual must be 'int8' or 'bf16'")
+    stem_out = jax.nn.relu(_qconv(x, qparams["stem"], stride=2, padding=3))
+
+    if residual == "bf16":
+        out = max_pool(stem_out.astype(out_dtype),
+                       window=3, stride=2, padding=1)
+        for stage, blocks in enumerate(qparams["layers"]):
+            for b, qb in enumerate(blocks):
+                stride = 2 if (stage > 0 and b == 0) else 1
+                h = jax.nn.relu(_qconv(out, qb["conv1"]))
+                h = jax.nn.relu(
+                    _qconv(h, qb["conv2"], stride=stride, padding=1))
+                h = _qconv(h, qb["conv3"])
+                if "downsample" in qb:
+                    shortcut = _qconv(out, qb["downsample"], stride=stride)
+                else:
+                    shortcut = out.astype(jnp.float32)
+                out = jax.nn.relu(h + shortcut).astype(out_dtype)
+        return out
+
+    # int8-resident trunk. Walk with one-block lookahead: each block
+    # output is quantized with the NEXT conv1's calibrated input scale
+    # (the very tensor that scale was calibrated on).
+    all_blocks = [(qb, 2 if (stage > 0 and b == 0) else 1)
+                  for stage, blocks in enumerate(qparams["layers"])
+                  for b, qb in enumerate(blocks)]
+    first_site = all_blocks[0][0]["conv1"]
+    # round/clip are monotone, so quantize commutes with max-pool:
+    # pooling runs on s8.
+    q = max_pool(_requant(stem_out, first_site["inv_in"]),
+                 window=3, stride=2, padding=1)
+    in_scale = 1.0 / first_site["inv_in"]
+    for i, (qb, stride) in enumerate(all_blocks):
+        h = jax.nn.relu(_conv_affine(q, qb["conv1"]))
+        h = jax.nn.relu(_qconv(h, qb["conv2"], stride=stride, padding=1))
+        h = _qconv(h, qb["conv3"])
+        if "downsample" in qb:
+            shortcut = _conv_affine(q, qb["downsample"], stride=stride)
+        else:
+            shortcut = q.astype(jnp.float32) * in_scale
+        out = jax.nn.relu(h + shortcut)
+        if i + 1 == len(all_blocks):
+            return out.astype(out_dtype)
+        nxt = all_blocks[i + 1][0]["conv1"]
+        q = _requant(out, nxt["inv_in"])
+        in_scale = 1.0 / nxt["inv_in"]

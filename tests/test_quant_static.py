@@ -92,6 +92,45 @@ def test_int8_backbone_close_to_float():
     assert corr > 0.99, corr
 
 
+def test_int8_resident_trunk_close_to_bf16_residual():
+    """residual='int8' (the serving default) adds only marginal error
+    over the conservative bf16-residual variant."""
+    params = _jitter_bn(init_resnet(jax.random.PRNGKey(0), (2, 2, 2),
+                                    (8, 16, 32)))
+    x = jax.random.normal(jax.random.PRNGKey(5), (2, 64, 64, 3))
+    ref, _ = resnet_forward(params, x, train=False)
+    q = quantize_resnet(
+        params, calibrate_act_maxes(params, x, compute_dtype=jnp.float32))
+    ref = np.asarray(ref, np.float32)
+
+    def rel(res):
+        out = np.asarray(resnet_int8_forward(
+            q, x, out_dtype=jnp.float32, residual=res), np.float32)
+        return np.linalg.norm(out - ref) / np.linalg.norm(ref)
+
+    r_bf16, r_int8 = rel("bf16"), rel("int8")
+    assert r_int8 < 0.08, r_int8
+    assert r_int8 < r_bf16 + 0.02, (r_int8, r_bf16)
+    try:
+        resnet_int8_forward(q, x, residual="f64")
+    except ValueError:
+        pass
+    else:
+        raise AssertionError("expected ValueError on unknown residual")
+
+
+def test_quantize_commutes_with_maxpool():
+    """round/clip monotonicity: pooling s8 == pooling float then s8."""
+    from icd_tpu.models.resnet import max_pool
+    from icd_tpu.models.resnet_int8 import _requant
+
+    x = jax.nn.relu(jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 8)))
+    inv = jnp.float32(127.0 / float(jnp.max(x)))
+    a = max_pool(_requant(x, inv), window=3, stride=2, padding=1)
+    b = _requant(max_pool(x, window=3, stride=2, padding=1), inv)
+    assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_calibration_max_over_batches():
     params = init_resnet(jax.random.PRNGKey(0), (1,), (4,))
     b1 = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 16, 3))
@@ -139,6 +178,39 @@ def test_int8_captioner_runs_and_matches_bf16_tokens_mostly():
                                 max_len=8, compute_dtype=jnp.float32,
                                 act_maxes=int8_fn.act_maxes)
     assert np.array_equal(np.asarray(again(imgs)), toks)
+
+
+def test_int8_attention_captioner_runs():
+    from icd_tpu.decoding.serve import (
+        make_attention_captioner, make_int8_attention_captioner)
+    from icd_tpu.models.attention import (
+        AttentionDecoderParams, init_attention_decoder)
+
+    encoder = {"resnet": init_resnet(jax.random.PRNGKey(1), (1, 1),
+                                     (8, 16))}
+    p = AttentionDecoderParams()
+    p.vocab = list(range(50))
+    p.embed_size = 16
+    p.decoder_dim = 16
+    p.attention_dim = 16
+    # encoder_dim 64 = final channels of the shrunken backbone
+    decoder = init_attention_decoder(jax.random.PRNGKey(2), p,
+                                     encoder_dim=64)
+    imgs = jnp.asarray((jax.random.uniform(
+        jax.random.PRNGKey(3), (2, 32, 32, 3)) * 255).astype(jnp.uint8))
+
+    ref_fn = make_attention_captioner(
+        encoder, decoder, start_id=47, end_id=48, max_len=6,
+        compute_dtype=jnp.float32)
+    fn = make_int8_attention_captioner(
+        encoder, decoder, start_id=47, end_id=48, max_len=6,
+        compute_dtype=jnp.float32, calib_imgs=imgs)
+    ref_toks, ref_alphas = ref_fn(imgs)
+    toks, alphas = fn(imgs)
+    assert toks.shape == tuple(ref_toks.shape)
+    assert alphas.shape == tuple(ref_alphas.shape)
+    # 1 stem + 2 blocks * 3 convs + 2 downsamples
+    assert fn.act_maxes.shape[0] == 9
 
 
 def test_int8_captioner_requires_calibration():

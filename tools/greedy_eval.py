@@ -28,9 +28,9 @@ def main():
     parser.add_argument("--max_caption_length", type=int, default=-1)
     parser.add_argument("--out", type=str, default=None)
     parser.add_argument("--int8", action="store_true",
-                        help="serve the baseline encoder with the "
-                             "static-calibration int8 backbone "
-                             "(calibrated on the first val batch)")
+                        help="serve the encoder with the static-"
+                             "calibration int8 backbone (calibrated on "
+                             "the first val batch)")
     args = parser.parse_args()
 
     import jax
@@ -63,11 +63,18 @@ def main():
         else:
             captioner = make_captioner(encoder, decoder, start_id, end_id,
                                        max_len=args.max_len)
-    elif args.int8:
-        parser.error("--int8 currently supports --model_type baseline")
     else:
-        att = make_attention_captioner(encoder, decoder, start_id,
-                                       end_id, max_len=args.max_len)
+        if args.int8:
+            from icd_tpu.decoding.serve import make_int8_attention_captioner
+            calib = np.stack([
+                dataset._load_img(i)
+                for i in dataset.img_ids[:args.batch_size]])
+            att = make_int8_attention_captioner(
+                encoder, decoder, start_id, end_id, max_len=args.max_len,
+                calib_imgs=jnp.asarray(calib))
+        else:
+            att = make_attention_captioner(encoder, decoder, start_id,
+                                           end_id, max_len=args.max_len)
         captioner = lambda imgs: att(imgs)[0]  # noqa: E731 (drop alphas)
 
     img_ids = dataset.img_ids
