@@ -35,7 +35,8 @@ from ..models.encoder import (
 from ..parallel.mesh import batch_sharding, make_data_mesh, replicated
 from ..training.baseline import make_optimizer_for, pretrained_resnet_or_none
 from ..training.common import (
-    doubly_stochastic_regularizer, merge, partition)
+    cast_floating, doubly_stochastic_regularizer, merge, partition,
+    recast_like)
 from ..utils.profiling import maybe_profile
 from ..vocabulary import END_TOKEN, PAD_TOKEN, START_TOKEN
 
@@ -69,11 +70,15 @@ def _decoder_trainable_mask(decoder_params, fine_tune_embedding):
     return mask
 
 
-def make_train_step(mask, tx, alpha_c, dropout_rate):
+def make_train_step(mask, tx, alpha_c, dropout_rate, compute_dtype=None):
     """Jitted SPMD train step for the attention model.
 
     BERT embeddings (when --use_bert) are precomputed on host and passed
     as the step's optional `embeddings` argument.
+
+    compute_dtype (e.g. jnp.bfloat16 via --amp) runs forward/backward in
+    that dtype with f32 master weights and f32 loss/softmax/regularizer
+    (the TPU mixed-precision extension; None = reference f32 numerics).
     """
 
     def step(trainable, frozen, opt_state, rng, imgs, captions,
@@ -81,11 +86,14 @@ def make_train_step(mask, tx, alpha_c, dropout_rate):
         def loss_fn(trainable):
             full = merge(trainable, frozen)
             grid, new_enc = encoder_attention_forward(
-                full["encoder"], imgs, train=True)
+                full["encoder"], imgs, train=True,
+                compute_dtype=compute_dtype)
             scores, alphas = attention_decoder_forward(
-                full["decoder"], grid, captions, decode_lengths,
-                rng=rng, dropout_rate=dropout_rate,
-                embeddings=embeddings)
+                cast_floating(full["decoder"], compute_dtype),
+                cast_floating(grid, compute_dtype), captions,
+                decode_lengths, rng=rng, dropout_rate=dropout_rate,
+                embeddings=cast_floating(embeddings, compute_dtype)
+                if embeddings is not None else None)
             targets = captions[:, 1:]
             # pack_padded over uniform decode lengths == masked mean.
             t_idx = jnp.arange(targets.shape[1])[None, :]
@@ -105,7 +113,8 @@ def make_train_step(mask, tx, alpha_c, dropout_rate):
         updates, opt_state = tx.update(grads, opt_state, trainable)
         trainable = optax.apply_updates(trainable, updates)
         _, new_frozen_enc = partition(new_enc, mask["encoder"])
-        frozen = dict(frozen, encoder=new_frozen_enc)
+        frozen = dict(frozen, encoder=recast_like(
+            new_frozen_enc, frozen["encoder"]))
         return trainable, frozen, opt_state, loss
 
     return step
@@ -173,7 +182,9 @@ def train(args, mesh=None):
         opt_state = tx.init(trainable)
 
     step_fn = jax.jit(make_train_step(
-        mask, tx, args.alpha_c, args.decoder_dropout))
+        mask, tx, args.alpha_c, args.decoder_dropout,
+        compute_dtype=(jnp.bfloat16 if getattr(args, "amp", False)
+                       else None)))
 
     num_batches = len(loader)
     epoch_losses = metrics.get("epoch_losses", [])

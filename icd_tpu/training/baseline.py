@@ -39,7 +39,8 @@ from ..models.baseline import (
 from ..models.encoder import encoder_forward, init_encoder, trainable_mask
 from ..parallel.mesh import batch_sharding, make_data_mesh, replicated
 from ..training.common import (
-    cross_entropy, make_optimizer, merge, partition)
+    cast_floating, cross_entropy, make_optimizer, merge, partition,
+    recast_like)
 from ..utils.profiling import maybe_profile
 from ..vocabulary import END_TOKEN, PAD_TOKEN, START_TOKEN
 
@@ -87,21 +88,28 @@ def build_baseline(args, vocab, rng):
     return encoder, decoder
 
 
-def make_train_step(pad_idx, mask, tx):
+def make_train_step(pad_idx, mask, tx, compute_dtype=None):
     """Build the jitted SPMD train step.
 
     mask: bool pytree over {'encoder','decoder'} marking trainable leaves.
     Frozen leaves are partitioned out of the differentiated argument so
     XLA never emits the ResNet backward when the encoder is frozen.
+
+    compute_dtype (e.g. jnp.bfloat16 via --amp) runs the forward/backward
+    in that dtype with f32 master weights, f32 loss/softmax, and f32
+    optimizer/BN-stat state — the TPU mixed-precision extension; the
+    default (None) is the reference's f32 numerics.
     """
 
     def step(trainable, frozen, opt_state, imgs, captions):
         def loss_fn(trainable):
             full = merge(trainable, frozen)
             feats, new_enc = encoder_forward(
-                full["encoder"], imgs, train=True)
+                full["encoder"], imgs, train=True,
+                compute_dtype=compute_dtype)
             scores = baseline_decoder_forward(
-                full["decoder"], feats, captions)
+                cast_floating(full["decoder"], compute_dtype),
+                cast_floating(feats, compute_dtype), captions)
             loss = cross_entropy(
                 scores.astype(jnp.float32), captions,
                 ignore_index=pad_idx)
@@ -112,9 +120,10 @@ def make_train_step(pad_idx, mask, tx):
         updates, opt_state = tx.update(grads, opt_state, trainable)
         trainable = optax.apply_updates(trainable, updates)
         # Thread updated BN running stats (always in the frozen
-        # partition) back into the state.
+        # partition) back into the state, at the state's own dtypes.
         _, new_frozen_enc = partition(new_enc, mask["encoder"])
-        frozen = dict(frozen, encoder=new_frozen_enc)
+        frozen = dict(frozen, encoder=recast_like(
+            new_frozen_enc, frozen["encoder"]))
         return trainable, frozen, opt_state, loss
 
     return step
@@ -185,7 +194,9 @@ def train(args, mesh=None):
     else:
         opt_state = tx.init(trainable)
 
-    step_fn = jax.jit(make_train_step(pad_idx, mask, tx))
+    compute_dtype = jnp.bfloat16 if getattr(args, "amp", False) else None
+    step_fn = jax.jit(make_train_step(pad_idx, mask, tx,
+                                      compute_dtype=compute_dtype))
 
     train_start = time.time()
     num_batches = len(loader)

@@ -45,6 +45,28 @@ def merge(trainable, frozen):
         is_leaf=lambda x: x is None)
 
 
+def cast_floating(tree, dtype):
+    """Cast floating-point leaves to ``dtype``; leave ints/bools alone.
+
+    AMP helper: master weights stay f32 outside the step; the cast
+    happens inside the differentiated function so gradients accumulate
+    in f32 automatically (grad-of-cast upcasts).
+    """
+    if dtype is None:
+        return tree
+    return jax.tree_util.tree_map(
+        lambda p: p.astype(dtype)
+        if jnp.issubdtype(jnp.asarray(p).dtype, jnp.floating) else p,
+        tree)
+
+
+def recast_like(tree, like):
+    """Cast ``tree`` leaves back to the dtypes of the matching ``like``
+    leaves (threads AMP-computed BN running stats back into f32 state)."""
+    return jax.tree_util.tree_map(
+        lambda a, b: a.astype(jnp.asarray(b).dtype), tree, like)
+
+
 # ---------------------------------------------------------------------------
 # Losses
 # ---------------------------------------------------------------------------

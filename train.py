@@ -64,6 +64,12 @@ def build_parser():
     parser.add_argument("--use_bert", type=bool, default=False,
                         help="whether to use BERT embeddigns for attention "
                              "model.")
+    # TPU extension (not in the reference CLI): bf16 mixed precision.
+    parser.add_argument("--amp", type=bool, default=False,
+                        help="bf16 mixed-precision training (f32 master "
+                             "weights, loss, optimizer and BN statistics); "
+                             "TPU extension, default off for reference-"
+                             "parity f32 numerics.")
     return parser
 
 
