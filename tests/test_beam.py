@@ -116,6 +116,34 @@ def test_beam_matches_reference_algorithm(seed, end_bias, k):
         assert ours == ref_seq, (ours, ref_seq)
 
 
+@pytest.mark.parametrize("seed,end_bias,k", [(0, 3.0, 3), (1, 2.0, 5)])
+def test_beam_alphas_match_sequence_replay(seed, end_bias, k):
+    """A beam's hidden-state path depends only on its own token history,
+    so replaying the winning tokens through decode_step must reproduce
+    the backtracked alpha trail exactly."""
+    params = _params(seed, end_bias)
+    grid = jax.random.normal(jax.random.PRNGKey(200 + seed), (P, ENC))
+    out = beam_search(params, grid, k, START, END)
+    assert bool(out["found"])
+    n = int(out["seq_len"])
+    seq = [int(t) for t in np.asarray(out["seq"])[:n]]
+    alphas = np.asarray(out["alphas"])
+
+    att = params["attention"]
+    att_enc = grid @ att["enc_att"]["w"] + att["enc_att"]["b"]
+    h, c = init_hidden_state(params, grid[None])
+    np.testing.assert_array_equal(alphas[0], np.ones(P))
+    for t in range(1, n):
+        emb = params["embedding"][jnp.asarray([seq[t - 1]])]
+        h, c, _, alpha = decode_step(
+            params, grid[None], att_enc[None], emb, h, c)
+        np.testing.assert_allclose(alphas[t], np.asarray(alpha[0]),
+                                   rtol=1e-6, atol=1e-6)
+    # Rows past the winner's end stay zeroed.
+    if n <= out["alphas"].shape[0] - 1:
+        np.testing.assert_array_equal(alphas[n:], 0.0)
+
+
 def test_beam_no_completion():
     params = _params(3, end_bias=-50.0)  # end never selected
     grid = jax.random.normal(jax.random.PRNGKey(7), (P, ENC))

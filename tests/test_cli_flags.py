@@ -36,11 +36,17 @@ def _our_flags(parser):
     return flags - {"-h", "--help"}
 
 
+# Deliberate TPU-only additions on top of the reference's flag set;
+# every reference flag must still exist with reference semantics.
+TRAIN_EXTENSIONS = {"--amp"}
+
+
 def test_train_flags_match_reference():
     our_train = _load_our_train()
     ref = _reference_flags("/root/reference/train.py")
     ours = _our_flags(our_train.build_parser())
-    assert ref == ours, (sorted(ref - ours), sorted(ours - ref))
+    assert ref - ours == set(), sorted(ref - ours)
+    assert ours - ref == TRAIN_EXTENSIONS, sorted(ours - ref)
 
 
 def test_eval_flags_match_reference():

@@ -28,6 +28,13 @@ def main():
     parser.add_argument("--batch_size", type=int, default=64)
     parser.add_argument("--max_caption_length", type=int, default=-1)
     parser.add_argument("--out", type=str, default=None)
+    parser.add_argument("--dtype", type=str, default="bf16",
+                        choices=["bf16", "f32"],
+                        help="compute dtype (bf16 is the TPU serving "
+                             "default; f32 matches reference numerics)")
+    parser.add_argument("--int8", action="store_true",
+                        help="static-calibration int8 encoder backbone "
+                             "(calibrated on the first val batch)")
     args = parser.parse_args()
 
     import jax
@@ -40,10 +47,14 @@ def main():
     from icd_tpu.pathconf import PathConfig
     from icd_tpu.vocabulary import END_TOKEN, START_TOKEN
 
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+
     chkpt = load_checkpoint(args)
     _, encoder, decoder, _, _, _ = unpack_checkpoint(chkpt)
-    encoder = jax.tree_util.tree_map(jnp.asarray, encoder)
-    decoder = jax.tree_util.tree_map(jnp.asarray, decoder)
+    encoder = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x).astype(dtype), encoder)
+    decoder = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x).astype(dtype), decoder)
 
     dataset = COCODataset("val", caption_max_len=args.max_caption_length)
     vocab = dataset.vocab
@@ -53,11 +64,34 @@ def main():
     img_ids = dataset.img_ids
     batch_size = max(1, min(args.batch_size, len(img_ids)))
 
-    @jax.jit
-    def caption(imgs):
-        grid, _ = encoder_attention_forward(encoder, imgs, train=False)
-        return beam_search_batched(
-            decoder, grid, args.beam_size, start_id, end_id)
+    if args.int8:
+        from icd_tpu.models.encoder import ATTENTION_GRID
+        from icd_tpu.models.resnet import adaptive_avg_pool2d
+        from icd_tpu.models.resnet_int8 import (
+            calibrate_act_maxes, quantize_resnet, resnet_int8_forward)
+        from icd_tpu.ops.image import normalize_imagenet
+
+        calib = jnp.asarray(np.stack(
+            [dataset._load_img(i) for i in img_ids[:batch_size]]))
+        qresnet = quantize_resnet(
+            encoder["resnet"],
+            calibrate_act_maxes(encoder["resnet"], calib, dtype))
+
+        @jax.jit
+        def caption(imgs):
+            x = normalize_imagenet(imgs).astype(dtype)
+            feats = resnet_int8_forward(qresnet, x, out_dtype=dtype)
+            grid = adaptive_avg_pool2d(feats, ATTENTION_GRID)
+            return beam_search_batched(
+                decoder, grid, args.beam_size, start_id, end_id)
+    else:
+        @jax.jit
+        def caption(imgs):
+            grid, _ = encoder_attention_forward(
+                encoder, imgs, train=False, compute_dtype=dtype)
+            return beam_search_batched(
+                decoder, grid.astype(dtype), args.beam_size, start_id,
+                end_id)
 
     results = []
     for i in range(0, len(img_ids), batch_size):
