@@ -11,10 +11,11 @@ Measured END-TO-END, dynamic quantization currently LOSES on this
 model (11.0 vs 7.3 ms/batch-64 serving): the per-layer abs-max
 reduction plus round/clip/cast passes add more VPU time and HBM
 traffic than the int8 matmuls save at ResNet-101's activation sizes.
-The 2x win requires static (calibrated) activation scales with the
-quantize folded into the previous layer's epilogue — a round-2
-candidate once calibration data exists. Kept as an experimental flag
-(make_captioner(int8=True)); never used by training.
+The production path is models/resnet_int8.py: STATIC calibrated
+activation scales, BN folded into the dequant affine, int8-resident
+trunk (measured +35% end-to-end serving). This dynamic variant is kept
+as the no-calibration fallback (make_captioner(int8=True)); never used
+by training.
 """
 
 import jax

@@ -2,7 +2,7 @@
 
 Same tunnel-safe methodology as bench.py: K steps inside one jitted
 fori_loop with perturbed images, min-of-N roundtrip subtraction, fetch
-to host. Run: python tools/bench_train.py
+to host. Run: python tools/bench_train.py [--attention]
 """
 
 import os
@@ -25,18 +25,30 @@ def main():
     import jax.numpy as jnp
     import optax
 
+    import icd_tpu.training.attention as ta
     import icd_tpu.training.baseline as tb
     from icd_tpu.models.baseline import (
         BaselineDecoderParams, init_baseline_decoder)
-    from icd_tpu.models.encoder import init_encoder, trainable_mask
+    from icd_tpu.models.encoder import (
+        init_encoder, init_encoder_attention, trainable_mask)
     from icd_tpu.training.common import partition
 
-    p = BaselineDecoderParams()
-    p.vocab_size = VOCAB
-    p.embed_size = 512
-    p.hidden_size = 512
-    encoder = init_encoder(jax.random.PRNGKey(0), 512)
-    decoder = init_baseline_decoder(jax.random.PRNGKey(1), p)
+    attention = "--attention" in sys.argv
+    if attention:
+        from icd_tpu.models.attention import (
+            AttentionDecoderParams, init_attention_decoder)
+
+        ap = AttentionDecoderParams()
+        ap.vocab = list(range(VOCAB))
+        encoder = init_encoder_attention(jax.random.PRNGKey(0))
+        decoder = init_attention_decoder(jax.random.PRNGKey(1), ap)
+    else:
+        p = BaselineDecoderParams()
+        p.vocab_size = VOCAB
+        p.embed_size = 512
+        p.hidden_size = 512
+        encoder = init_encoder(jax.random.PRNGKey(0), 512)
+        decoder = init_baseline_decoder(jax.random.PRNGKey(1), p)
     mask = {
         "encoder": trainable_mask(encoder, fine_tune=False, head=False),
         "decoder": jax.tree_util.tree_map(lambda _: True, decoder),
@@ -51,6 +63,7 @@ def main():
         jnp.uint8))
     captions = jax.random.randint(
         jax.random.PRNGKey(3), (BATCH, CAP_LEN), 0, VOCAB)
+    decode_lengths = jnp.full((BATCH,), CAP_LEN - 1, jnp.int32)
 
     salt_base = int.from_bytes(os.urandom(3), "little")
     tiny = jax.jit(lambda s: s + 1)
@@ -64,7 +77,16 @@ def main():
     print("roundtrip %.1f ms" % (roundtrip * 1e3), flush=True)
 
     for label, dtype in (("f32", None), ("amp-bf16", jnp.bfloat16)):
-        step = tb.make_train_step(0, mask, tx, compute_dtype=dtype)
+        if attention:
+            att_step = ta.make_train_step(
+                mask, tx, alpha_c=1.0, dropout_rate=0.5,
+                compute_dtype=dtype)
+            rng = jax.random.PRNGKey(7)
+
+            def step(t, f, o, im, cap):
+                return att_step(t, f, o, rng, im, cap, decode_lengths)
+        else:
+            step = tb.make_train_step(0, mask, tx, compute_dtype=dtype)
 
         @jax.jit
         def run(trainable, frozen, opt_state, salt):
