@@ -106,6 +106,13 @@ class COCODataset:
             arr = self.img_transform(arr)
         return arr
 
+    def load_image_batch(self, img_ids):
+        """Stack decoded images for the given ids: (N, H, W, 3) uint8.
+
+        Serving-tool helper (greedy/beam eval loops, int8 calibration).
+        """
+        return np.stack([self._load_img(i) for i in img_ids])
+
     def __getitem__(self, idx):
         mapping = self.caption_img_mappings[idx]
         caption, img_id = mapping["caption"], mapping["img_id"]

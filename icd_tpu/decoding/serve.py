@@ -48,7 +48,7 @@ def make_captioner(encoder_params, decoder_params, start_id, end_id,
 def _build_int8_backbone(encoder_params, compute_dtype, calib_imgs=None,
                          act_maxes=None):
     """Calibrate (if needed) + quantize the backbone; returns
-    (qresnet, embed_cast, act_maxes)."""
+    (qresnet, act_maxes)."""
     from ..models.resnet_int8 import calibrate_act_maxes, quantize_resnet
 
     if act_maxes is None:
@@ -58,10 +58,7 @@ def _build_int8_backbone(encoder_params, compute_dtype, calib_imgs=None,
                 "precomputed act_maxes")
         act_maxes = calibrate_act_maxes(
             encoder_params["resnet"], calib_imgs, compute_dtype)
-    qresnet = quantize_resnet(encoder_params["resnet"], act_maxes)
-    embed_cast = jax.tree_util.tree_map(
-        lambda x: x.astype(compute_dtype), encoder_params["embed"])
-    return qresnet, embed_cast, act_maxes
+    return quantize_resnet(encoder_params["resnet"], act_maxes), act_maxes
 
 
 def make_int8_captioner(encoder_params, decoder_params, start_id, end_id,
@@ -74,8 +71,10 @@ def make_int8_captioner(encoder_params, decoder_params, start_id, end_id,
     from ..models.resnet_int8 import resnet_int8_forward
     from ..ops.image import normalize_imagenet
 
-    qresnet, embed, act_maxes = _build_int8_backbone(
+    qresnet, act_maxes = _build_int8_backbone(
         encoder_params, compute_dtype, calib_imgs, act_maxes)
+    embed = jax.tree_util.tree_map(
+        lambda x: x.astype(compute_dtype), encoder_params["embed"])
     decoder_cast = jax.tree_util.tree_map(
         lambda x: x.astype(compute_dtype), decoder_params)
 
@@ -128,20 +127,13 @@ def make_int8_attention_captioner(encoder_params, decoder_params, start_id,
     from encoder_params['resnet'] alone.
     """
     from ..models.resnet import adaptive_avg_pool2d
-    from ..models.resnet_int8 import (
-        calibrate_act_maxes, quantize_resnet, resnet_int8_forward)
+    from ..models.resnet_int8 import resnet_int8_forward
     from ..ops.image import normalize_imagenet
     from .greedy_attention import greedy_decode_attention
     from ..models.encoder import ATTENTION_GRID
 
-    if act_maxes is None:
-        if calib_imgs is None:
-            raise ValueError(
-                "int8 serving needs calib_imgs (batches of images) or "
-                "precomputed act_maxes")
-        act_maxes = calibrate_act_maxes(
-            encoder_params["resnet"], calib_imgs, compute_dtype)
-    qresnet = quantize_resnet(encoder_params["resnet"], act_maxes)
+    qresnet, act_maxes = _build_int8_backbone(
+        encoder_params, compute_dtype, calib_imgs, act_maxes)
     decoder_cast = jax.tree_util.tree_map(
         lambda x: x.astype(compute_dtype), decoder_params)
 
@@ -196,8 +188,10 @@ def make_int8_repeat_captioner(encoder_params, decoder_params, start_id,
     from ..models.resnet_int8 import resnet_int8_forward
     from ..ops.image import normalize_imagenet
 
-    qresnet, embed, act_maxes = _build_int8_backbone(
+    qresnet, act_maxes = _build_int8_backbone(
         encoder_params, compute_dtype, calib_imgs, act_maxes)
+    embed = jax.tree_util.tree_map(
+        lambda x: x.astype(compute_dtype), encoder_params["embed"])
     decoder_cast = jax.tree_util.tree_map(
         lambda x: x.astype(compute_dtype), decoder_params)
 

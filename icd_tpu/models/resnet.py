@@ -54,8 +54,14 @@ def batch_norm(x, bn, train=False):
     running statistics.
     """
     if train:
-        mean = jnp.mean(x, axis=(0, 1, 2))
-        var = jnp.var(x, axis=(0, 1, 2))
+        # Batch statistics are computed and blended at the RUNNING
+        # stats' dtype (f32 under --amp, where only the compute copy of
+        # the params is bf16), so the threaded-back stats never lose
+        # precision to the compute dtype. Identity for uniform trees.
+        stat_dtype = bn["mean"].dtype
+        xs = x.astype(stat_dtype)
+        mean = jnp.mean(xs, axis=(0, 1, 2))
+        var = jnp.var(xs, axis=(0, 1, 2))
         n = x.shape[0] * x.shape[1] * x.shape[2]
         # torch tracks unbiased variance in running stats.
         unbiased = var * (n / max(n - 1, 1))
@@ -68,7 +74,9 @@ def batch_norm(x, bn, train=False):
         new_bn = bn
     inv = jax.lax.rsqrt(var + BN_EPS) * bn["scale"]
     y = (x - mean) * inv + bn["bias"]
-    return y, new_bn
+    # Keep the activation at the compute dtype even when the stats are
+    # wider (the f32 math fuses; only the narrow result is written).
+    return y.astype(x.dtype), new_bn
 
 
 def max_pool(x, window=3, stride=2, padding=1):
@@ -176,6 +184,25 @@ def init_resnet101(key, dtype=jnp.float32):
 # Forward
 # ---------------------------------------------------------------------------
 
+def _cast_keep_bn_stats(params, dtype):
+    """Cast all leaves to ``dtype`` EXCEPT BatchNorm running statistics.
+
+    The stats stay at their stored dtype so train-mode forwards update
+    them at full precision (batch_norm blends at the stats' dtype) and
+    the returned new_params carry master-precision stats — the AMP
+    train step threads exactly those back into the f32 state.
+    """
+    def walk(node):
+        if isinstance(node, dict):
+            return {k: (v if k in ("mean", "var") else walk(v))
+                    for k, v in node.items()}
+        if isinstance(node, list):
+            return [walk(v) for v in node]
+        return node.astype(dtype)
+
+    return walk(params)
+
+
 def _bottleneck(block, x, stride, train, conv=conv2d):
     """1x1 -> 3x3(stride) -> 1x1 bottleneck with projection shortcut."""
     new_block = dict(block)
@@ -212,8 +239,7 @@ def resnet_forward(params, x, train=False, compute_dtype=None, conv=None):
         conv = conv2d
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
-        params = jax.tree_util.tree_map(
-            lambda p: p.astype(compute_dtype), params)
+        params = _cast_keep_bn_stats(params, compute_dtype)
     new_params = {"stem": dict(params["stem"]), "layers": []}
 
     out = conv(x, params["stem"]["conv"], stride=2, padding=3)

@@ -113,24 +113,33 @@ def quantize_resnet(params, act_maxes):
     """Float resnet param tree + calibrated maxes -> int8 serving tree."""
     act_maxes = np.asarray(act_maxes, np.float32)
     it = iter(act_maxes)
+
+    def take():
+        v = next(it, None)
+        if v is None:
+            raise ValueError(
+                "act_maxes has too few entries for this backbone "
+                "(got {})".format(len(act_maxes)))
+        return v
+
     q = {"stem": _quantize_site(params["stem"]["conv"],
-                                params["stem"]["bn"], next(it)),
+                                params["stem"]["bn"], take()),
          "layers": []}
     for blocks in params["layers"]:
         qblocks = []
         for block in blocks:
             qb = {
                 "conv1": _quantize_site(block["conv1"], block["bn1"],
-                                        next(it)),
+                                        take()),
                 "conv2": _quantize_site(block["conv2"], block["bn2"],
-                                        next(it)),
+                                        take()),
                 "conv3": _quantize_site(block["conv3"], block["bn3"],
-                                        next(it)),
+                                        take()),
             }
             if "downsample" in block:
                 qb["downsample"] = _quantize_site(
                     block["downsample"]["conv"], block["downsample"]["bn"],
-                    next(it))
+                    take())
             qblocks.append(qb)
         q["layers"].append(qblocks)
     leftover = len(list(it))

@@ -35,8 +35,8 @@ from ..models.encoder import (
 from ..parallel.mesh import batch_sharding, make_data_mesh, replicated
 from ..training.baseline import make_optimizer_for, pretrained_resnet_or_none
 from ..training.common import (
-    cast_floating, doubly_stochastic_regularizer, merge, partition,
-    recast_like)
+    cast_floating, doubly_stochastic_regularizer, merge, merge_bn_stats,
+    partition)
 from ..utils.profiling import maybe_profile
 from ..vocabulary import END_TOKEN, PAD_TOKEN, START_TOKEN
 
@@ -113,7 +113,7 @@ def make_train_step(mask, tx, alpha_c, dropout_rate, compute_dtype=None):
         updates, opt_state = tx.update(grads, opt_state, trainable)
         trainable = optax.apply_updates(trainable, updates)
         _, new_frozen_enc = partition(new_enc, mask["encoder"])
-        frozen = dict(frozen, encoder=recast_like(
+        frozen = dict(frozen, encoder=merge_bn_stats(
             new_frozen_enc, frozen["encoder"]))
         return trainable, frozen, opt_state, loss
 

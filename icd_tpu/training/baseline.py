@@ -39,8 +39,8 @@ from ..models.baseline import (
 from ..models.encoder import encoder_forward, init_encoder, trainable_mask
 from ..parallel.mesh import batch_sharding, make_data_mesh, replicated
 from ..training.common import (
-    cast_floating, cross_entropy, make_optimizer, merge, partition,
-    recast_like)
+    cast_floating, cross_entropy, make_optimizer, merge, merge_bn_stats,
+    partition)
 from ..utils.profiling import maybe_profile
 from ..vocabulary import END_TOKEN, PAD_TOKEN, START_TOKEN
 
@@ -119,10 +119,11 @@ def make_train_step(pad_idx, mask, tx, compute_dtype=None):
             loss_fn, has_aux=True)(trainable)
         updates, opt_state = tx.update(grads, opt_state, trainable)
         trainable = optax.apply_updates(trainable, updates)
-        # Thread updated BN running stats (always in the frozen
-        # partition) back into the state, at the state's own dtypes.
+        # Thread ONLY the updated BN running stats (always in the frozen
+        # partition) back into the state — never the compute-cast
+        # weights.
         _, new_frozen_enc = partition(new_enc, mask["encoder"])
-        frozen = dict(frozen, encoder=recast_like(
+        frozen = dict(frozen, encoder=merge_bn_stats(
             new_frozen_enc, frozen["encoder"]))
         return trainable, frozen, opt_state, loss
 

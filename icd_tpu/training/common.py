@@ -60,11 +60,29 @@ def cast_floating(tree, dtype):
         tree)
 
 
-def recast_like(tree, like):
-    """Cast ``tree`` leaves back to the dtypes of the matching ``like``
-    leaves (threads AMP-computed BN running stats back into f32 state)."""
-    return jax.tree_util.tree_map(
-        lambda a, b: a.astype(jnp.asarray(b).dtype), tree, like)
+def merge_bn_stats(new_tree, old_tree):
+    """Take ONLY BatchNorm running statistics (dict keys 'mean'/'var')
+    from ``new_tree``; every other leaf — and every None of a partition
+    — comes from ``old_tree``.
+
+    The AMP train step runs the forward on a bf16-cast copy of the
+    params; threading the whole returned tree back would silently
+    replace the f32 master weights with their bf16-rounded values. Only
+    the freshly-updated running stats (already computed at the master
+    dtype, see models.resnet.batch_norm) may flow back.
+    """
+    def walk(new, old, key=None):
+        if old is None or new is None:
+            return old
+        if isinstance(old, dict):
+            return {k: walk(new[k], old[k], k) for k in old}
+        if isinstance(old, list):
+            return [walk(a, b) for a, b in zip(new, old)]
+        if key in ("mean", "var"):
+            return new.astype(jnp.asarray(old).dtype)
+        return old
+
+    return walk(new_tree, old_tree)
 
 
 # ---------------------------------------------------------------------------

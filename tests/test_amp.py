@@ -93,6 +93,24 @@ def test_amp_first_step_loss_matches_f32():
     # Updated trainable weights stay f32 under AMP.
     assert _all_f32(t16)
     assert _all_f32(f16)
+    # Frozen master weights must come back BIT-IDENTICAL (not
+    # bf16-rounded): only BN running stats may change under AMP.
+    stem = f16["encoder"]["resnet"]["stem"]
+    np.testing.assert_array_equal(
+        np.asarray(stem["conv"]),
+        np.asarray(encoder["resnet"]["stem"]["conv"]))
+    block0 = f16["encoder"]["resnet"]["layers"][0][0]
+    orig0 = encoder["resnet"]["layers"][0][0]
+    np.testing.assert_array_equal(
+        np.asarray(block0["conv2"]), np.asarray(orig0["conv2"]))
+    np.testing.assert_array_equal(
+        np.asarray(block0["bn1"]["scale"]),
+        np.asarray(orig0["bn1"]["scale"]))
+    # ... while the running stats did update (train-mode BN).
+    assert not np.array_equal(np.asarray(stem["bn"]["mean"]),
+                              np.asarray(encoder["resnet"]["stem"]
+                                         ["bn"]["mean"]))
+    assert stem["bn"]["mean"].dtype == jnp.float32
     # And the update direction is close: compare a leaf's delta sign mix.
     d32 = np.asarray(t32["decoder"]["linear"]["w"] - decoder["linear"]["w"])
     d16 = np.asarray(t16["decoder"]["linear"]["w"] - decoder["linear"]["w"])

@@ -71,8 +71,8 @@ def main():
             calibrate_act_maxes, quantize_resnet, resnet_int8_forward)
         from icd_tpu.ops.image import normalize_imagenet
 
-        calib = jnp.asarray(np.stack(
-            [dataset._load_img(i) for i in img_ids[:batch_size]]))
+        calib = jnp.asarray(
+            dataset.load_image_batch(img_ids[:batch_size]))
         qresnet = quantize_resnet(
             encoder["resnet"],
             calibrate_act_maxes(encoder["resnet"], calib, dtype))
@@ -96,7 +96,7 @@ def main():
     results = []
     for i in range(0, len(img_ids), batch_size):
         chunk = img_ids[i: i + batch_size]
-        imgs = np.stack([dataset._load_img(img_id) for img_id in chunk])
+        imgs = dataset.load_image_batch(chunk)
         valid = len(chunk)
         if valid < batch_size:
             imgs = np.concatenate(

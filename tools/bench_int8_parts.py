@@ -16,12 +16,16 @@ REPEATS = 10
 TRIALS = 3
 
 
-def timeit(fn, args, roundtrip):
-    np.asarray(fn(*args))
+def timeit(fn, x, roundtrip, salt_base):
+    """Salted per call so the tunnel replay cache can't serve a timed
+    dispatch (CLAUDE.md: identical (executable, args) may replay)."""
+    import jax.numpy as jnp
+    np.asarray(fn(x, jnp.float32(salt_base)))      # compile
+    np.asarray(fn(x, jnp.float32(salt_base + 1)))  # first-run warmup
     times = []
     for t in range(TRIALS):
         t0 = time.perf_counter()
-        np.asarray(fn(*args))
+        np.asarray(fn(x, jnp.float32(salt_base + 2 + t)))
         times.append(time.perf_counter() - t0)
     return (min(times) - roundtrip) / REPEATS
 
@@ -74,16 +78,20 @@ def main():
         print("wrote /tmp/{int8,bf16}_resnet_hlo.txt")
         return
 
+    salt_base = int.from_bytes(os.urandom(3), "little")
     tiny = jax.jit(lambda s: s + 1)
-    np.asarray(tiny(jnp.int32(0)))
-    t0 = time.perf_counter()
-    np.asarray(tiny(jnp.int32(1)))
-    roundtrip = time.perf_counter() - t0
+    np.asarray(tiny(jnp.int32(salt_base)))
+    rts = []
+    for i in range(5):
+        t0 = time.perf_counter()
+        np.asarray(tiny(jnp.int32(salt_base + 1 + i)))
+        rts.append(time.perf_counter() - t0)
+    roundtrip = min(rts)
     print("roundtrip %.1f ms" % (roundtrip * 1e3), flush=True)
 
-    t = timeit(run_bf16, (imgs, jnp.float32(1)), roundtrip)
+    t = timeit(run_bf16, imgs, roundtrip, salt_base + 10)
     print("bf16 resnet: %.3f ms/batch" % (t * 1e3), flush=True)
-    t8 = timeit(run_int8, (imgs, jnp.float32(1)), roundtrip)
+    t8 = timeit(run_int8, imgs, roundtrip, salt_base + 100)
     print("int8 resnet: %.3f ms/batch" % (t8 * 1e3), flush=True)
 
 

@@ -52,26 +52,22 @@ def main():
     vocab = dataset.vocab
     start_id, end_id = vocab(START_TOKEN), vocab(END_TOKEN)
 
+    calib = (jnp.asarray(dataset.load_image_batch(
+        dataset.img_ids[:args.batch_size])) if args.int8 else None)
     if args.model_type == "baseline":
         if args.int8:
-            calib = np.stack([
-                dataset._load_img(i)
-                for i in dataset.img_ids[:args.batch_size]])
             captioner = make_int8_captioner(
                 encoder, decoder, start_id, end_id, max_len=args.max_len,
-                calib_imgs=jnp.asarray(calib))
+                calib_imgs=calib)
         else:
             captioner = make_captioner(encoder, decoder, start_id, end_id,
                                        max_len=args.max_len)
     else:
         if args.int8:
             from icd_tpu.decoding.serve import make_int8_attention_captioner
-            calib = np.stack([
-                dataset._load_img(i)
-                for i in dataset.img_ids[:args.batch_size]])
             att = make_int8_attention_captioner(
                 encoder, decoder, start_id, end_id, max_len=args.max_len,
-                calib_imgs=jnp.asarray(calib))
+                calib_imgs=calib)
         else:
             att = make_attention_captioner(encoder, decoder, start_id,
                                            end_id, max_len=args.max_len)
@@ -82,7 +78,7 @@ def main():
     results = []
     for i in range(0, len(img_ids), batch_size):
         chunk = img_ids[i: i + batch_size]
-        imgs = np.stack([dataset._load_img(img_id) for img_id in chunk])
+        imgs = dataset.load_image_batch(chunk)
         valid = len(chunk)
         if valid < batch_size:
             imgs = np.concatenate(
