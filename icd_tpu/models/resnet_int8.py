@@ -161,7 +161,12 @@ def _requant(x, inv_in):
 
 
 def _conv_affine(xi, site, stride=1, padding=0):
-    """s8 input -> int8 conv (int32 acc) -> folded BN affine, f32 out."""
+    """s8 input -> int8 conv (int32 acc) -> folded BN affine, f32 out.
+
+    Keep the conv form even for 1x1 kernels: lowering them as dots over
+    flattened pixels was measured 10% SLOWER end-to-end (11,004 vs
+    ~12,400 captions/s) despite fusing more epilogues — see NOTES.md.
+    """
     if isinstance(stride, int):
         stride = (stride, stride)
     if isinstance(padding, int):

@@ -31,6 +31,11 @@ def main():
                         help="serve the encoder with the static-"
                              "calibration int8 backbone (calibrated on "
                              "the first val batch)")
+    parser.add_argument("--act_maxes", type=str, default=None,
+                        help="with --int8: .npy file of calibrated "
+                             "activation maxes; loaded if it exists, "
+                             "else written after calibration (calibrate "
+                             "once, serve many)")
     args = parser.parse_args()
 
     import jax
@@ -52,13 +57,19 @@ def main():
     vocab = dataset.vocab
     start_id, end_id = vocab(START_TOKEN), vocab(END_TOKEN)
 
-    calib = (jnp.asarray(dataset.load_image_batch(
-        dataset.img_ids[:args.batch_size])) if args.int8 else None)
+    calib = act_maxes = None
+    if args.int8:
+        if args.act_maxes and os.path.exists(args.act_maxes):
+            act_maxes = np.load(args.act_maxes)
+            print("Loaded act_maxes from {}".format(args.act_maxes))
+        else:
+            calib = jnp.asarray(dataset.load_image_batch(
+                dataset.img_ids[:args.batch_size]))
     if args.model_type == "baseline":
         if args.int8:
             captioner = make_int8_captioner(
                 encoder, decoder, start_id, end_id, max_len=args.max_len,
-                calib_imgs=calib)
+                calib_imgs=calib, act_maxes=act_maxes)
         else:
             captioner = make_captioner(encoder, decoder, start_id, end_id,
                                        max_len=args.max_len)
@@ -67,11 +78,17 @@ def main():
             from icd_tpu.decoding.serve import make_int8_attention_captioner
             att = make_int8_attention_captioner(
                 encoder, decoder, start_id, end_id, max_len=args.max_len,
-                calib_imgs=calib)
+                calib_imgs=calib, act_maxes=act_maxes)
+            captioner = lambda imgs: att(imgs)[0]  # noqa: E731
         else:
             att = make_attention_captioner(encoder, decoder, start_id,
                                            end_id, max_len=args.max_len)
-        captioner = lambda imgs: att(imgs)[0]  # noqa: E731 (drop alphas)
+            captioner = lambda imgs: att(imgs)[0]  # noqa: E731
+    if args.int8:
+        inner = captioner if args.model_type == "baseline" else att
+        if args.act_maxes and act_maxes is None:
+            np.save(args.act_maxes, np.asarray(inner.act_maxes))
+            print("Saved act_maxes to {}".format(args.act_maxes))
 
     img_ids = dataset.img_ids
     batch_size = max(1, min(args.batch_size, len(img_ids)))
