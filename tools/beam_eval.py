@@ -35,6 +35,10 @@ def main():
     parser.add_argument("--int8", action="store_true",
                         help="static-calibration int8 encoder backbone "
                              "(calibrated on the first val batch)")
+    parser.add_argument("--act_maxes", type=str, default=None,
+                        help="with --int8: .npy of calibrated activation "
+                             "maxes; loaded if present, else written "
+                             "after calibration")
     args = parser.parse_args()
 
     import jax
@@ -71,11 +75,18 @@ def main():
             calibrate_act_maxes, quantize_resnet, resnet_int8_forward)
         from icd_tpu.ops.image import normalize_imagenet
 
-        calib = jnp.asarray(
-            dataset.load_image_batch(img_ids[:batch_size]))
-        qresnet = quantize_resnet(
-            encoder["resnet"],
-            calibrate_act_maxes(encoder["resnet"], calib, dtype))
+        if args.act_maxes and os.path.exists(args.act_maxes):
+            act_maxes = np.load(args.act_maxes)
+            print("Loaded act_maxes from {}".format(args.act_maxes))
+        else:
+            calib = jnp.asarray(
+                dataset.load_image_batch(img_ids[:batch_size]))
+            act_maxes = calibrate_act_maxes(encoder["resnet"], calib,
+                                            dtype)
+            if args.act_maxes:
+                np.save(args.act_maxes, np.asarray(act_maxes))
+                print("Saved act_maxes to {}".format(args.act_maxes))
+        qresnet = quantize_resnet(encoder["resnet"], act_maxes)
 
         @jax.jit
         def caption(imgs):
