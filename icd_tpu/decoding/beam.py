@@ -32,15 +32,31 @@ MAX_STEPS = 51  # reference: breaks when step > 50 (gen_captions.py:119)
 NEG_INF = -1e9
 
 
+def _quantize_sym(x, axes):
+    """Symmetric per-tensor int8 quantization over ``axes``."""
+    s = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=axes,
+                keepdims=True) / 127.0
+    s = jnp.maximum(s, 1e-12)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / s), -127, 127)
+    return q.astype(jnp.int8), s
+
+
 @partial(jax.jit, static_argnames=("beam_size", "start_id", "end_id",
-                                   "max_steps"))
+                                   "max_steps", "int8_grid"))
 def beam_search(decoder_params, encoder_out, beam_size, start_id, end_id,
-                max_steps=MAX_STEPS):
+                max_steps=MAX_STEPS, int8_grid=False):
     """Beam-search decode one image's encoder grid.
 
     Args:
         encoder_out: (P, D) flattened pixel grid for ONE image.
         beam_size: k.
+        int8_grid: keep the loop-invariant encoder grid and its attention
+            projection as per-image symmetric int8 in HBM and dequantize
+            inside the loop body (the convert fuses into each consumer).
+            These two tensors are the decode loop's dominant HBM read
+            (~51 + 13 MB/step at batch 64 in bf16); int8 cuts that 4x.
+            Off by default: captions can differ from the f32/bf16 path
+            on near-tie beams (reference parity keeps exact math).
 
     Returns dict with:
         seq: (max_steps + 1,) int32 best complete sequence, starting with
@@ -60,6 +76,10 @@ def beam_search(decoder_params, encoder_out, beam_size, start_id, end_id,
     # every step (measured 64 MB/step at batch 64, k=5).
     att_enc = encoder_out @ att["enc_att"]["w"] + att["enc_att"]["b"]
     vocab_size = decoder_params["fc"]["w"].shape[1]
+    grid_dtype = encoder_out.dtype
+    if int8_grid:
+        enc_q, enc_s = _quantize_sym(encoder_out, axes=(0, 1))
+        att_q, att_s = _quantize_sym(att_enc, axes=(0, 1))
 
     h, c = init_hidden_state(
         decoder_params,
@@ -105,8 +125,16 @@ def beam_search(decoder_params, encoder_out, beam_size, start_id, end_id,
         active = slot_ids < s["k_active"]
 
         emb = decoder_params["embedding"][s["prev_words"]]
+        if int8_grid:
+            # Dequantize INSIDE the body: the int8 tensors are what lives
+            # in HBM across steps; the converts fuse into their single
+            # consumers (weighted-sum reduce / act elementwise chain).
+            enc_t = (enc_q.astype(grid_dtype) * enc_s.astype(grid_dtype))
+            att_t = (att_q.astype(grid_dtype) * att_s.astype(grid_dtype))
+        else:
+            enc_t, att_t = encoder_out, att_enc
         new_h, new_c, logits, alpha = decode_step(
-            decoder_params, encoder_out, att_enc, emb, s["h"], s["c"])
+            decoder_params, enc_t, att_t, emb, s["h"], s["c"])
         logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=1)
         cand = s["cum_scores"][:, None] + logprobs  # (k, V)
 
@@ -208,7 +236,8 @@ def beam_search(decoder_params, encoder_out, beam_size, start_id, end_id,
 
 
 def beam_search_batched(decoder_params, encoder_grids, beam_size,
-                        start_id, end_id, max_steps=MAX_STEPS):
+                        start_id, end_id, max_steps=MAX_STEPS,
+                        int8_grid=False):
     """vmap beam_search over a batch of (gh, gw, D) or (P, D) grids."""
     if encoder_grids.ndim == 4:
         b = encoder_grids.shape[0]
@@ -216,7 +245,8 @@ def beam_search_batched(decoder_params, encoder_grids, beam_size,
             b, -1, encoder_grids.shape[-1])
     return jax.vmap(
         lambda grid: beam_search(decoder_params, grid, beam_size,
-                                 start_id, end_id, max_steps)
+                                 start_id, end_id, max_steps,
+                                 int8_grid=int8_grid)
     )(encoder_grids)
 
 

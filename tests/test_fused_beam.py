@@ -1,0 +1,72 @@
+"""Differential tests: fused Pallas beam kernel vs the XLA beam loop.
+
+The kernel (ops/fused_beam.py) reimplements beam.py's while-loop body —
+candidate masking, lax.top_k tie order, survivor packing, running-best
+completion tracking, alpha backtrack protocol — so a full-output
+equality differential on random problems (f32, interpret mode) is the
+correctness bar.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from icd_tpu.decoding.beam import beam_search_batched
+from icd_tpu.models.attention import (AttentionDecoderParams,
+                                      init_attention_decoder)
+from icd_tpu.ops.fused_beam import beam_search_fused
+
+
+def _make(vocab, att_dim, dec_dim, emb_dim, enc_dim, seed=1):
+    class Cfg(AttentionDecoderParams):
+        pass
+
+    # (class bodies can't see enclosing-function locals)
+    Cfg.attention_dim = att_dim
+    Cfg.decoder_dim = dec_dim
+    Cfg.embed_size = emb_dim
+    Cfg.vocab = list(range(vocab))
+    return init_attention_decoder(jax.random.PRNGKey(seed), Cfg(),
+                                  encoder_dim=enc_dim)
+
+
+@pytest.mark.parametrize("seed,b,k,p,chunk", [(0, 4, 5, 16, 2),
+                                              (3, 2, 3, 8, 2)])
+def test_fused_beam_matches_xla_loop(seed, b, k, p, chunk):
+    v, d = 40, 64
+    dec = _make(v, 24, 32, 16, d, seed=seed)
+    grids = jax.random.normal(jax.random.PRNGKey(seed + 10),
+                              (b, p, d)) * 0.5
+    max_steps = 12
+    ref = beam_search_batched(dec, grids, k, v - 3, v - 2,
+                              max_steps=max_steps)
+    out = beam_search_fused(dec, grids, k, v - 3, v - 2,
+                            max_steps=max_steps, chunk_images=chunk,
+                            interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref["seq"]),
+                                  np.asarray(out["seq"]))
+    np.testing.assert_array_equal(np.asarray(ref["seq_len"]),
+                                  np.asarray(out["seq_len"]))
+    np.testing.assert_array_equal(np.asarray(ref["found"]),
+                                  np.asarray(out["found"]))
+    np.testing.assert_allclose(np.asarray(ref["alphas"]),
+                               np.asarray(out["alphas"]),
+                               rtol=0, atol=5e-6)
+
+
+def test_fused_beam_failure_protocol():
+    """No beam reaches <end> within the budget -> [start, end] protocol."""
+    v, d, b, k, p = 24, 32, 2, 3, 8
+    dec = _make(v, 16, 16, 8, d, seed=7)
+    # Make <end> unreachable: huge negative fc bias on the end token.
+    dec["fc"]["b"] = dec["fc"]["b"].at[v - 2].set(-1e9)
+    grids = jax.random.normal(jax.random.PRNGKey(11), (b, p, d))
+    out = beam_search_fused(dec, grids, k, v - 3, v - 2, max_steps=6,
+                            chunk_images=2, interpret=True)
+    ref = beam_search_batched(dec, grids, k, v - 3, v - 2, max_steps=6)
+    assert not np.asarray(out["found"]).any()
+    np.testing.assert_array_equal(np.asarray(ref["seq"]),
+                                  np.asarray(out["seq"]))
+    np.testing.assert_array_equal(np.asarray(out["seq_len"]),
+                                  np.full((b,), 2))

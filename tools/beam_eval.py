@@ -35,6 +35,13 @@ def main():
     parser.add_argument("--int8", action="store_true",
                         help="static-calibration int8 encoder backbone "
                              "(calibrated on the first val batch)")
+    parser.add_argument("--fused", action="store_true",
+                        help="decode with the fused Pallas beam kernel "
+                             "(ops/fused_beam.py): all 51 steps in one "
+                             "launch, weights VMEM-resident")
+    parser.add_argument("--int8_grid", action="store_true",
+                        help="XLA beam loop only: int8 encoder grid + "
+                             "attention projection inside the decode loop")
     parser.add_argument("--act_maxes", type=str, default=None,
                         help="with --int8: .npy of calibrated activation "
                              "maxes; loaded if present, else written "
@@ -52,6 +59,17 @@ def main():
     from icd_tpu.vocabulary import END_TOKEN, START_TOKEN
 
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+
+    if args.fused:
+        from icd_tpu.ops.fused_beam import beam_search_fused
+
+        def beam_search_batched(dec, grid, k, s, e):  # noqa: F811
+            return beam_search_fused(dec, grid, k, s, e)
+    else:
+        _beam = beam_search_batched
+
+        def beam_search_batched(dec, grid, k, s, e):  # noqa: F811
+            return _beam(dec, grid, k, s, e, int8_grid=args.int8_grid)
 
     chkpt = load_checkpoint(args)
     _, encoder, decoder, _, _, _ = unpack_checkpoint(chkpt)
