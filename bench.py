@@ -73,22 +73,10 @@ def main():
             encoder, decoder, start_id=VOCAB - 3, end_id=VOCAB - 2,
             max_len=DECODE_LEN, repeats=REPEATS, calib_imgs=imgs)
 
-    # Per-run random salt base: (a) defeats the tunnel's replay cache,
-    # which can serve identical (executable, args) calls from a recording
-    # (~0.02 ms), and (b) makes every run's timed args fresh.
-    salt_base = int.from_bytes(os.urandom(3), "little")
-
-    # Measure dispatch roundtrip overhead to subtract: min over several
-    # salted tiny calls (a single sample can hiccup by 2x and skew the
-    # subtraction).
-    tiny = jax.jit(lambda s: s + 1)
-    np.asarray(tiny(jnp.int32(salt_base)))
-    rts = []
-    for i in range(5):
-        t0 = time.perf_counter()
-        np.asarray(tiny(jnp.int32(salt_base + 1 + i)))
-        rts.append(time.perf_counter() - t0)
-    roundtrip = min(rts)
+    # Salted-roundtrip preamble (replay-cache defeat + dispatch-overhead
+    # measurement): icd_tpu/utils/benchmarking.py documents the recipe.
+    from icd_tpu.utils.benchmarking import tunnel_timer
+    salt_base, roundtrip = tunnel_timer(verbose=False)
 
     # Warmup / compile (salted so it can't be replay-served), plus one
     # extra warm call: the first execution of a freshly-compiled program

@@ -184,8 +184,51 @@ def _qconv(x, site, stride=1, padding=0):
                         stride=stride, padding=padding)
 
 
+def _stem_s2d(x, site):
+    """Space-to-depth stem: bit-exact 7x7/2 conv at 4x the MXU lane use.
+
+    MEASURED NEGATIVE RESULT on v5e (batch 64, incl. the following
+    maxpool): 1.14 ms vs 0.76 ms stock — XLA's adaptive conv emitter
+    already handles the 3-channel stem well, and the s8 pixel-shuffle
+    relayout this variant prepends does not fuse into the conv. Kept
+    (opt-in via resnet_int8_forward(use_s2d_stem=True)) because the
+    transform is bit-exact and the measurement documents the boundary.
+
+    The idea: the stock stem feeds 3 input channels into 128 MXU lanes
+    (2.3% occupancy — the classic TPU ResNet bottleneck). Rearranging
+    2x2 pixel blocks into channels (3 -> 12) and regrouping the kernel
+    the same way computes the IDENTICAL int32 accumulation — the same
+    147 taps plus zero taps — so the result is bit-exact, not
+    approximate:
+
+      - kernel (7,7,3,64) zero-pads to (8,8,3,64) at the top/left,
+        which shifts conv padding 3 -> 4 on those sides (the zero taps
+        read the extra padding ring and contribute nothing);
+      - 8x8/stride-2 windows tile exactly into 4x4 blocks of 2x2, so
+        the transformed conv is (4,4,12,64), stride 1, padding (2,1):
+        output position y reads blocks y-2..y+1 = original rows
+        2y-4..2y+3, exactly the shifted window.
+
+    The weight regroup is 9.4k elements (free); the pixel shuffle is
+    what costs (see above).
+    """
+    xi = _requant(x, site["inv_in"])  # (B, 224, 224, 3) s8
+    b, hh, ww, c = xi.shape
+    x2 = xi.reshape(b, hh // 2, 2, ww // 2, 2, c)
+    x2 = x2.transpose(0, 1, 3, 2, 4, 5).reshape(b, hh // 2, ww // 2, 4 * c)
+    w8 = jnp.pad(site["wq"], ((1, 0), (1, 0), (0, 0), (0, 0)))
+    kh, kw, _, co = w8.shape
+    w4 = w8.reshape(kh // 2, 2, kw // 2, 2, c, co)
+    w4 = w4.transpose(0, 2, 1, 3, 4, 5).reshape(kh // 2, kw // 2, 4 * c, co)
+    acc = jax.lax.conv_general_dilated(
+        x2, w4, window_strides=(1, 1), padding=[(2, 1), (2, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * site["scale"] + site["bias"]
+
+
 def resnet_int8_forward(qparams, x, out_dtype=jnp.bfloat16,
-                        residual="int8"):
+                        residual="int8", use_s2d_stem=False):
     """(B, H, W, 3) normalized float -> stride-32 NHWC features.
 
     Structure mirrors resnet_forward (inference mode only).
@@ -203,7 +246,17 @@ def resnet_int8_forward(qparams, x, out_dtype=jnp.bfloat16,
     """
     if residual not in ("int8", "bf16"):
         raise ValueError("residual must be 'int8' or 'bf16'")
-    stem_out = jax.nn.relu(_qconv(x, qparams["stem"], stride=2, padding=3))
+    # Space-to-depth stem: measured SLOWER on v5e (1.14 vs 0.76
+    # ms/batch-64 incl. pool) — XLA's conv emitter already handles the
+    # 3-channel stem well and the s8 pixel shuffle doesn't pay for the
+    # lane-occupancy win. Kept opt-in as a bit-exact documented variant
+    # (see _stem_s2d); stock path is the default.
+    if (use_s2d_stem and qparams["stem"]["wq"].shape[:2] == (7, 7)
+            and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0):
+        stem_out = jax.nn.relu(_stem_s2d(x, qparams["stem"]))
+    else:
+        stem_out = jax.nn.relu(
+            _qconv(x, qparams["stem"], stride=2, padding=3))
 
     if residual == "bf16":
         out = max_pool(stem_out.astype(out_dtype),

@@ -69,6 +69,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..decoding.beam import MAX_STEPS
+
 # Comma-set of phase ablations for perf triage (bench-only; breaks
 # semantics): natt (skip attention compute), ndma (don't re-stream enc),
 # ntopk (skip the top-k passes), nbook (skip packing/bookkeeping),
@@ -398,7 +400,7 @@ def _kernel(att_enc_ref, h0_ref, c0_ref, emb_ref, wd_ref, bd_ref, wf_ref,
     static_argnames=("beam_size", "start_id", "end_id", "max_steps",
                      "chunk_images", "interpret"))
 def beam_search_fused(decoder_params, encoder_grids, beam_size, start_id,
-                      end_id, max_steps=51, chunk_images=4,
+                      end_id, max_steps=MAX_STEPS, chunk_images=4,
                       interpret=False):
     """Drop-in for decoding.beam.beam_search_batched via the fused kernel.
 
@@ -416,7 +418,8 @@ def beam_search_fused(decoder_params, encoder_grids, beam_size, start_id,
     kp = _round_up(k, 8)
     b, p_real, d = encoder_grids.shape
     cb = min(chunk_images, b)
-    assert b % cb == 0, "batch must divide the image chunk size"
+    while b % cb:  # largest divisor <= chunk_images, any batch serves
+        cb -= 1
     nc = b // cb
     att = decoder_params["attention"]
     a = att["enc_att"]["w"].shape[1]

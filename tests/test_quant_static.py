@@ -119,6 +119,26 @@ def test_int8_resident_trunk_close_to_bf16_residual():
         raise AssertionError("expected ValueError on unknown residual")
 
 
+def test_s2d_stem_bit_exact():
+    """Space-to-depth stem == stock 7x7/2 stem, bit for bit (the int32
+    accumulator makes the tap reordering exact, not approximate)."""
+    from icd_tpu.models.resnet_int8 import _qconv, _stem_s2d
+
+    key = jax.random.PRNGKey(3)
+    site = {
+        "wq": jax.random.randint(key, (7, 7, 3, 16), -127, 128, jnp.int8),
+        "scale": jax.random.uniform(key, (16,), jnp.float32),
+        "bias": jax.random.uniform(key, (16,), jnp.float32),
+        "inv_in": jnp.float32(17.3),
+    }
+    for shape in [(2, 64, 64, 3), (1, 32, 48, 3)]:
+        x = jax.random.normal(jax.random.PRNGKey(4), shape) * 3
+        a = np.asarray(_qconv(x, site, stride=2, padding=3))
+        b = np.asarray(_stem_s2d(x, site))
+        assert a.shape == b.shape
+        assert np.array_equal(a, b), shape
+
+
 def test_quantize_commutes_with_maxpool():
     """round/clip monotonicity: pooling s8 == pooling float then s8."""
     from icd_tpu.models.resnet import max_pool

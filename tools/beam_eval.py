@@ -60,6 +60,9 @@ def main():
 
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
 
+    if args.fused and args.int8_grid:
+        parser.error("--int8_grid applies to the XLA beam loop only; "
+                     "it cannot be combined with --fused")
     if args.fused:
         from icd_tpu.ops.fused_beam import beam_search_fused
 

@@ -45,16 +45,8 @@ def main():
     qresnet = quantize_resnet(
         encoder["resnet"], calibrate_act_maxes(encoder["resnet"], imgs))
 
-    salt_base = int.from_bytes(os.urandom(3), "little")
-    tiny = jax.jit(lambda s: s + 1)
-    np.asarray(tiny(jnp.int32(salt_base)))
-    rts = []
-    for i in range(5):
-        t0 = time.perf_counter()
-        np.asarray(tiny(jnp.int32(salt_base + 1 + i)))
-        rts.append(time.perf_counter() - t0)
-    roundtrip = min(rts)
-    print("roundtrip %.1f ms" % (roundtrip * 1e3), flush=True)
+    from icd_tpu.utils.benchmarking import tunnel_timer
+    salt_base, roundtrip = tunnel_timer()
 
     def make(dtype, int8):
         enc = jax.tree_util.tree_map(lambda x: x.astype(dtype), encoder)

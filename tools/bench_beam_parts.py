@@ -48,16 +48,8 @@ def main():
     grid = jax.random.normal(
         jax.random.PRNGKey(2), (BATCH, 196, 2048), jnp.bfloat16)
 
-    salt_base = int.from_bytes(os.urandom(3), "little")
-    tiny = jax.jit(lambda s: s + 1)
-    np.asarray(tiny(jnp.int32(salt_base)))
-    rts = []
-    for i in range(5):
-        t0 = time.perf_counter()
-        np.asarray(tiny(jnp.int32(salt_base + 1 + i)))
-        rts.append(time.perf_counter() - t0)
-    roundtrip = min(rts)
-    print("roundtrip %.1f ms" % (roundtrip * 1e3), flush=True)
+    from icd_tpu.utils.benchmarking import tunnel_timer
+    salt_base, roundtrip = tunnel_timer()
 
     att = dec["attention"]
 
@@ -105,7 +97,9 @@ def main():
             @jax.jit
             def run(grid, salt):
                 def body(i, acc):
-                    g = grid * (1 + salt.astype(jnp.bfloat16) * 1e-6)
+                    # salt + i: the body must depend on the induction var
+                    # or XLA can CSE the REPEATS decodes into one.
+                    g = grid * (1 + (salt + i).astype(jnp.bfloat16) * 1e-6)
                     out = beam_search_batched(
                         dec, g, BEAM, VOCAB - 3, VOCAB - 2)
                     return acc + jnp.sum(out["seq"])

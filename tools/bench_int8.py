@@ -19,12 +19,6 @@ REPEATS = 10
 TRIALS = 3
 
 
-def _timed(thunk):
-    t0 = time.perf_counter()
-    thunk()
-    return time.perf_counter() - t0
-
-
 def time_captioner(fn, imgs, roundtrip, salt_base):
     """Per-run random salts defeat the tunnel's replay cache (identical
     (executable, args) calls can be served from a recording)."""
@@ -61,13 +55,8 @@ def main():
     imgs = jnp.asarray((jax.random.uniform(
         key, (BATCH, 224, 224, 3)) * 255).astype(jnp.uint8))
 
-    salt_base = int.from_bytes(os.urandom(3), "little")
-    tiny = jax.jit(lambda s: s + 1)
-    np.asarray(tiny(jnp.int32(salt_base)))
-    roundtrip = min(
-        _timed(lambda: np.asarray(tiny(jnp.int32(salt_base + 1 + i))))
-        for i in range(5))
-    print("roundtrip %.1f ms" % (roundtrip * 1e3), flush=True)
+    from icd_tpu.utils.benchmarking import tunnel_timer
+    salt_base, roundtrip = tunnel_timer()
 
     bf16 = make_repeat_captioner(
         encoder, decoder, start_id=VOCAB - 3, end_id=VOCAB - 2,

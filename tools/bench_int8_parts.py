@@ -78,16 +78,8 @@ def main():
         print("wrote /tmp/{int8,bf16}_resnet_hlo.txt")
         return
 
-    salt_base = int.from_bytes(os.urandom(3), "little")
-    tiny = jax.jit(lambda s: s + 1)
-    np.asarray(tiny(jnp.int32(salt_base)))
-    rts = []
-    for i in range(5):
-        t0 = time.perf_counter()
-        np.asarray(tiny(jnp.int32(salt_base + 1 + i)))
-        rts.append(time.perf_counter() - t0)
-    roundtrip = min(rts)
-    print("roundtrip %.1f ms" % (roundtrip * 1e3), flush=True)
+    from icd_tpu.utils.benchmarking import tunnel_timer
+    salt_base, roundtrip = tunnel_timer()
 
     t = timeit(run_bf16, imgs, roundtrip, salt_base + 10)
     print("bf16 resnet: %.3f ms/batch" % (t * 1e3), flush=True)

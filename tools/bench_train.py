@@ -65,16 +65,8 @@ def main():
         jax.random.PRNGKey(3), (BATCH, CAP_LEN), 0, VOCAB)
     decode_lengths = jnp.full((BATCH,), CAP_LEN - 1, jnp.int32)
 
-    salt_base = int.from_bytes(os.urandom(3), "little")
-    tiny = jax.jit(lambda s: s + 1)
-    np.asarray(tiny(jnp.int32(salt_base)))
-    rts = []
-    for i in range(5):
-        t0 = time.perf_counter()
-        np.asarray(tiny(jnp.int32(salt_base + 1 + i)))
-        rts.append(time.perf_counter() - t0)
-    roundtrip = min(rts)
-    print("roundtrip %.1f ms" % (roundtrip * 1e3), flush=True)
+    from icd_tpu.utils.benchmarking import tunnel_timer
+    salt_base, roundtrip = tunnel_timer()
 
     for label, dtype in (("f32", None), ("amp-bf16", jnp.bfloat16)):
         if attention:
