@@ -39,17 +39,28 @@ def greedy_decode_baseline(decoder_params, img_features, start_id, end_id,
     first = jnp.argmax(h @ lin["w"] + lin["b"], axis=-1).astype(jnp.int32)
     finished = first == end_id
 
-    def step(carry, _):
-        h, c, tok, finished = carry
+    # while_loop with an all-finished exit, not a fixed-length scan:
+    # positions after <end> are end_id either way (identical output),
+    # but on a trained model most captions finish well before max_len
+    # and the remaining steps are pure waste. Matches beam.py's
+    # load-bearing early-exit design.
+    toks = jnp.full((batch, max_len), end_id, jnp.int32)
+    toks = toks.at[:, 0].set(first)
+
+    def cond(s):
+        return (s[5] < max_len) & jnp.logical_not(jnp.all(s[3]))
+
+    def body(s):
+        h, c, tok, finished, toks, i = s
         x = emb[tok]
         h, c = lstm_cell(lstm, x, h, c)
         logits = h @ lin["w"] + lin["b"]
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         nxt = jnp.where(finished, end_id, nxt)
         finished = finished | (nxt == end_id)
-        return (h, c, nxt, finished), nxt
+        toks = jax.lax.dynamic_update_slice(toks, nxt[:, None], (0, i))
+        return (h, c, nxt, finished, toks, i + 1)
 
-    (_, _, _, _), toks = jax.lax.scan(
-        step, (h, c, first, finished), None, length=max_len - 1)
-    return jnp.concatenate(
-        [first[:, None], jnp.swapaxes(toks, 0, 1)], axis=1)
+    out = jax.lax.while_loop(
+        cond, body, (h, c, first, finished, toks, jnp.int32(1)))
+    return out[4]

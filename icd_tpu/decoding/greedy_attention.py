@@ -31,8 +31,20 @@ def greedy_decode_attention(decoder_params, encoder_grid, start_id, end_id,
     tok = jnp.full((batch,), start_id, jnp.int32)
     finished = jnp.zeros((batch,), bool)
 
-    def step(carry, _):
-        h, c, tok, finished = carry
+    p = encoder_grid.shape[1]
+
+    # while_loop with an all-finished exit (see greedy.py): output is
+    # identical to the fixed-length scan — post-<end> token slots are
+    # end_id and their alpha rows stay zero — but trained-model batches
+    # stop as soon as every caption has finished.
+    toks = jnp.full((batch, max_len), end_id, jnp.int32)
+    alphas = jnp.zeros((batch, max_len, p), jnp.float32)
+
+    def cond(s):
+        return (s[6] < max_len) & jnp.logical_not(jnp.all(s[3]))
+
+    def body(s):
+        h, c, tok, finished, toks, alphas, i = s
         emb = decoder_params["embedding"][tok]
         h2, c2, logits, alpha = decode_step(
             decoder_params, encoder_grid, att_enc, emb, h, c)
@@ -40,9 +52,14 @@ def greedy_decode_attention(decoder_params, encoder_grid, start_id, end_id,
         nxt = jnp.where(finished, end_id, nxt)
         h = jnp.where(finished[:, None], h, h2)
         c = jnp.where(finished[:, None], c, c2)
+        alpha = jnp.where(finished[:, None], 0.0,
+                          alpha.astype(jnp.float32))
+        toks = jax.lax.dynamic_update_slice(toks, nxt[:, None], (0, i))
+        alphas = jax.lax.dynamic_update_slice(
+            alphas, alpha[:, None, :], (0, i, 0))
         finished = finished | (nxt == end_id)
-        return (h, c, nxt, finished), (nxt, alpha)
+        return (h, c, nxt, finished, toks, alphas, i + 1)
 
-    (_, _, _, _), (toks, alphas) = jax.lax.scan(
-        step, (h, c, tok, finished), None, length=max_len)
-    return jnp.swapaxes(toks, 0, 1), jnp.swapaxes(alphas, 0, 1)
+    out = jax.lax.while_loop(
+        cond, body, (h, c, tok, finished, toks, alphas, jnp.int32(0)))
+    return out[4], out[5]

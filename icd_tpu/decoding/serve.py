@@ -14,6 +14,17 @@ from ..models.encoder import encoder_forward
 from .greedy import greedy_decode_baseline
 
 
+def _cast_tree(tree, dtype):
+    """Build-time param cast to DEVICE arrays.
+
+    jnp.asarray, not .astype: checkpoint-loaded params are host numpy
+    arrays, and numpy's fancy indexing (embedding[tok] in the decode
+    loops) rejects tracers — the cast must also move to device.
+    """
+    return jax.tree_util.tree_map(lambda x: jnp.asarray(x, dtype), tree)
+
+
+
 def make_captioner(encoder_params, decoder_params, start_id, end_id,
                    max_len=25, compute_dtype=jnp.bfloat16, int8=False):
     """Build a jitted (imgs uint8 NHWC) -> (B, max_len) captioner.
@@ -21,12 +32,10 @@ def make_captioner(encoder_params, decoder_params, start_id, end_id,
     int8=True runs the backbone convolutions with W8A8 dynamic
     quantization (experimental; ~2x conv throughput on v5e).
     """
-    decoder_cast = jax.tree_util.tree_map(
-        lambda x: x.astype(compute_dtype), decoder_params)
+    decoder_cast = _cast_tree(decoder_params, compute_dtype)
     # Pre-cast once at build time; the in-jit cast then becomes a no-op
     # (saves ~170MB of f32->bf16 conversion per un-batched dispatch).
-    encoder_cast = jax.tree_util.tree_map(
-        lambda x: x.astype(compute_dtype), encoder_params)
+    encoder_cast = _cast_tree(encoder_params, compute_dtype)
     conv = None
     if int8:
         from ..ops.quant import int8_conv
@@ -73,10 +82,8 @@ def make_int8_captioner(encoder_params, decoder_params, start_id, end_id,
 
     qresnet, act_maxes = _build_int8_backbone(
         encoder_params, compute_dtype, calib_imgs, act_maxes)
-    embed = jax.tree_util.tree_map(
-        lambda x: x.astype(compute_dtype), encoder_params["embed"])
-    decoder_cast = jax.tree_util.tree_map(
-        lambda x: x.astype(compute_dtype), decoder_params)
+    embed = _cast_tree(encoder_params["embed"], compute_dtype)
+    decoder_cast = _cast_tree(decoder_params, compute_dtype)
 
     @jax.jit
     def caption(imgs):
@@ -100,10 +107,8 @@ def make_attention_captioner(encoder_params, decoder_params, start_id,
     from ..models.encoder import encoder_attention_forward
     from .greedy_attention import greedy_decode_attention
 
-    decoder_cast = jax.tree_util.tree_map(
-        lambda x: x.astype(compute_dtype), decoder_params)
-    encoder_cast = jax.tree_util.tree_map(
-        lambda x: x.astype(compute_dtype), encoder_params)
+    decoder_cast = _cast_tree(decoder_params, compute_dtype)
+    encoder_cast = _cast_tree(encoder_params, compute_dtype)
 
     @jax.jit
     def caption(imgs):
@@ -134,8 +139,7 @@ def make_int8_attention_captioner(encoder_params, decoder_params, start_id,
 
     qresnet, act_maxes = _build_int8_backbone(
         encoder_params, compute_dtype, calib_imgs, act_maxes)
-    decoder_cast = jax.tree_util.tree_map(
-        lambda x: x.astype(compute_dtype), decoder_params)
+    decoder_cast = _cast_tree(decoder_params, compute_dtype)
 
     @jax.jit
     def caption(imgs):
@@ -159,10 +163,8 @@ def make_repeat_captioner(encoder_params, decoder_params, start_id, end_id,
     would otherwise dominate (the dev tunnel here adds ~30-60 ms per
     call; real TPU deployments pay ~10 us).
     """
-    decoder_cast = jax.tree_util.tree_map(
-        lambda x: x.astype(compute_dtype), decoder_params)
-    encoder_cast = jax.tree_util.tree_map(
-        lambda x: x.astype(compute_dtype), encoder_params)
+    decoder_cast = _cast_tree(decoder_params, compute_dtype)
+    encoder_cast = _cast_tree(encoder_params, compute_dtype)
 
     @jax.jit
     def caption_many(imgs, salt):
@@ -190,10 +192,8 @@ def make_int8_repeat_captioner(encoder_params, decoder_params, start_id,
 
     qresnet, act_maxes = _build_int8_backbone(
         encoder_params, compute_dtype, calib_imgs, act_maxes)
-    embed = jax.tree_util.tree_map(
-        lambda x: x.astype(compute_dtype), encoder_params["embed"])
-    decoder_cast = jax.tree_util.tree_map(
-        lambda x: x.astype(compute_dtype), decoder_params)
+    embed = _cast_tree(encoder_params["embed"], compute_dtype)
+    decoder_cast = _cast_tree(decoder_params, compute_dtype)
 
     @jax.jit
     def caption_many(imgs, salt):

@@ -55,6 +55,21 @@ def test_fused_beam_matches_xla_loop(seed, b, k, p, chunk):
                                rtol=0, atol=5e-6)
 
 
+def test_fused_beam_nondividing_batch():
+    """chunk_images that doesn't divide the batch falls back to the
+    largest divisor instead of asserting (b=6, chunk=4 -> cb=3)."""
+    v, d, b, k, p = 24, 32, 6, 3, 8
+    dec = _make(v, 16, 16, 8, d, seed=5)
+    grids = jax.random.normal(jax.random.PRNGKey(6), (b, p, d)) * 0.5
+    ref = beam_search_batched(dec, grids, k, v - 3, v - 2, max_steps=8)
+    out = beam_search_fused(dec, grids, k, v - 3, v - 2, max_steps=8,
+                            chunk_images=4, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref["seq"]),
+                                  np.asarray(out["seq"]))
+    np.testing.assert_array_equal(np.asarray(ref["seq_len"]),
+                                  np.asarray(out["seq_len"]))
+
+
 def test_fused_beam_failure_protocol():
     """No beam reaches <end> within the budget -> [start, end] protocol."""
     v, d, b, k, p = 24, 32, 2, 3, 8
