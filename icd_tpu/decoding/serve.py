@@ -6,6 +6,8 @@ ResNet-101 + LSTM decode fused into a single jitted program running in
 bfloat16 on the MXU. Weights are cast once at build time, not per call.
 """
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -210,3 +212,64 @@ def make_int8_repeat_captioner(encoder_params, decoder_params, start_id,
 
     caption_many.act_maxes = act_maxes
     return caption_many
+
+
+def make_sharded_captioner(encoder_params, decoder_params, start_id,
+                           end_id, mesh, max_len=25,
+                           compute_dtype=jnp.bfloat16, int8=False,
+                           calib_imgs=None, act_maxes=None):
+    """Multi-chip serving: SPMD data parallelism over ``mesh``'s 'data'
+    axis (the reference's capability ceiling is one device, SURVEY §2c;
+    this is the TPU-native scale-out).
+
+    Params replicate across the mesh; the image batch and the token
+    output shard on axis 0. Per decode step the only collective is the
+    scalar all-reduce XLA inserts for the early-exit ``all(finished)``
+    while-condition — everything else is embarrassingly parallel, so
+    throughput scales with the 'data' axis. Batch must divide it.
+
+    int8=True uses the static-calibration W8A8 backbone (pass
+    calib_imgs or saved act_maxes, as in make_int8_captioner).
+    """
+    from ..parallel.mesh import batch_sharding, replicated
+
+    if int8:
+        from ..models.resnet_int8 import resnet_int8_forward
+        from ..ops.image import normalize_imagenet
+
+        qresnet, act_maxes = _build_int8_backbone(
+            encoder_params, compute_dtype, calib_imgs, act_maxes)
+        qresnet = jax.device_put(qresnet, replicated(mesh))
+        embed = jax.device_put(
+            _cast_tree(encoder_params["embed"], compute_dtype),
+            replicated(mesh))
+        decoder_cast = jax.device_put(
+            _cast_tree(decoder_params, compute_dtype), replicated(mesh))
+
+        def fwd(imgs):
+            x = normalize_imagenet(imgs)
+            feats = resnet_int8_forward(qresnet, x.astype(compute_dtype),
+                                        out_dtype=compute_dtype)
+            pooled = jnp.mean(feats, axis=(1, 2))
+            return (pooled.astype(embed["w"].dtype) @ embed["w"]
+                    + embed["b"])
+    else:
+        decoder_cast = jax.device_put(
+            _cast_tree(decoder_params, compute_dtype), replicated(mesh))
+        encoder_cast = jax.device_put(
+            _cast_tree(encoder_params, compute_dtype), replicated(mesh))
+
+        def fwd(imgs):
+            feats, _ = encoder_forward(encoder_cast, imgs, train=False,
+                                       compute_dtype=compute_dtype)
+            return feats.astype(compute_dtype)
+
+    @partial(jax.jit,
+             in_shardings=batch_sharding(mesh, 4),
+             out_shardings=batch_sharding(mesh, 2))
+    def caption(imgs):
+        return greedy_decode_baseline(decoder_cast, fwd(imgs),
+                                      start_id, end_id, max_len=max_len)
+
+    caption.act_maxes = act_maxes
+    return caption

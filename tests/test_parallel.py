@@ -107,6 +107,28 @@ def test_make_data_mesh_picks_largest_divisor():
     assert make_data_mesh(13).shape["data"] == 1  # prime > devices
 
 
+def test_sharded_captioner_matches_single_device():
+    """DP serving over the 8-device mesh == the plain captioner."""
+    from icd_tpu.decoding.serve import make_captioner, make_sharded_captioner
+
+    encoder, decoder, _, imgs, _ = _setup()
+    mesh = make_mesh(n_data=8, n_model=1)
+    single = make_captioner(encoder, decoder, start_id=V - 3,
+                            end_id=V - 2, max_len=6,
+                            compute_dtype=jnp.float32)
+    sharded = make_sharded_captioner(encoder, decoder, start_id=V - 3,
+                                     end_id=V - 2, mesh=mesh, max_len=6,
+                                     compute_dtype=jnp.float32)
+    imgs_j = jnp.asarray(imgs)
+    a = np.asarray(single(imgs_j))
+    b = np.asarray(sharded(imgs_j))
+    assert b.shape == (B, 6)
+    np.testing.assert_array_equal(a, b)
+    # output really is batch-sharded over 'data'
+    out = sharded(imgs_j)
+    assert out.sharding.spec[0] == "data"
+
+
 def test_shard_batch_layout():
     mesh = make_mesh(n_data=4, n_model=2)
     batch = {"imgs": np.zeros((8, 4, 4, 3), np.uint8),
