@@ -273,3 +273,54 @@ def make_sharded_captioner(encoder_params, decoder_params, start_id,
 
     caption.act_maxes = act_maxes
     return caption
+
+
+def make_sharded_attention_captioner(encoder_params, decoder_params,
+                                     start_id, end_id, mesh, max_len=25,
+                                     compute_dtype=jnp.bfloat16,
+                                     int8=False, calib_imgs=None,
+                                     act_maxes=None):
+    """make_sharded_captioner for the soft-attention model: DP over
+    'data', params replicated, (tokens, alphas) both batch-sharded."""
+    from ..parallel.mesh import batch_sharding, replicated
+    from .greedy_attention import greedy_decode_attention
+
+    decoder_cast = jax.device_put(
+        _cast_tree(decoder_params, compute_dtype), replicated(mesh))
+    if int8:
+        from ..models.encoder import ATTENTION_GRID
+        from ..models.resnet import adaptive_avg_pool2d
+        from ..models.resnet_int8 import resnet_int8_forward
+        from ..ops.image import normalize_imagenet
+
+        qresnet, act_maxes = _build_int8_backbone(
+            encoder_params, compute_dtype, calib_imgs, act_maxes)
+        qresnet = jax.device_put(qresnet, replicated(mesh))
+
+        def fwd(imgs):
+            x = normalize_imagenet(imgs)
+            feats = resnet_int8_forward(qresnet, x.astype(compute_dtype),
+                                        out_dtype=compute_dtype)
+            return adaptive_avg_pool2d(feats, ATTENTION_GRID)
+    else:
+        from ..models.encoder import encoder_attention_forward
+
+        encoder_cast = jax.device_put(
+            _cast_tree(encoder_params, compute_dtype), replicated(mesh))
+
+        def fwd(imgs):
+            grid, _ = encoder_attention_forward(
+                encoder_cast, imgs, train=False,
+                compute_dtype=compute_dtype)
+            return grid.astype(compute_dtype)
+
+    @partial(jax.jit,
+             in_shardings=batch_sharding(mesh, 4),
+             out_shardings=(batch_sharding(mesh, 2),
+                            batch_sharding(mesh, 3)))
+    def caption(imgs):
+        return greedy_decode_attention(decoder_cast, fwd(imgs),
+                                       start_id, end_id, max_len=max_len)
+
+    caption.act_maxes = act_maxes
+    return caption

@@ -129,6 +129,43 @@ def test_sharded_captioner_matches_single_device():
     assert out.sharding.spec[0] == "data"
 
 
+def test_sharded_attention_captioner_matches_single_device():
+    from icd_tpu.decoding.serve import (make_attention_captioner,
+                                        make_sharded_attention_captioner)
+    from icd_tpu.models.attention import (AttentionDecoderParams,
+                                          init_attention_decoder)
+    from helpers import SMALL_DIM, small_init_encoder_attention
+
+    class _V:
+        def __len__(self):
+            return V
+
+    p = AttentionDecoderParams()
+    p.attention_dim = 8
+    p.decoder_dim = 8
+    p.embed_size = 8
+    p.vocab = _V()
+    encoder = small_init_encoder_attention(jax.random.PRNGKey(0))
+    decoder = init_attention_decoder(jax.random.PRNGKey(1), p,
+                                     encoder_dim=SMALL_DIM)
+    rng = np.random.default_rng(1)
+    imgs = jnp.asarray(rng.integers(0, 255, (B, 32, 32, 3), np.uint8))
+
+    mesh = make_mesh(n_data=8, n_model=1)
+    single = make_attention_captioner(encoder, decoder, start_id=V - 3,
+                                      end_id=V - 2, max_len=5,
+                                      compute_dtype=jnp.float32)
+    sharded = make_sharded_attention_captioner(
+        encoder, decoder, start_id=V - 3, end_id=V - 2, mesh=mesh,
+        max_len=5, compute_dtype=jnp.float32)
+    t1, a1 = single(imgs)
+    t2, a2 = sharded(imgs)
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), atol=1e-6)
+    assert t2.sharding.spec[0] == "data"
+    assert a2.sharding.spec[0] == "data"
+
+
 def test_shard_batch_layout():
     mesh = make_mesh(n_data=4, n_model=2)
     batch = {"imgs": np.zeros((8, 4, 4, 3), np.uint8),
