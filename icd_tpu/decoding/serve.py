@@ -275,18 +275,11 @@ def make_sharded_captioner(encoder_params, decoder_params, start_id,
     return caption
 
 
-def make_sharded_attention_captioner(encoder_params, decoder_params,
-                                     start_id, end_id, mesh, max_len=25,
-                                     compute_dtype=jnp.bfloat16,
-                                     int8=False, calib_imgs=None,
-                                     act_maxes=None):
-    """make_sharded_captioner for the soft-attention model: DP over
-    'data', params replicated, (tokens, alphas) both batch-sharded."""
-    from ..parallel.mesh import batch_sharding, replicated
-    from .greedy_attention import greedy_decode_attention
+def _replicated_attention_fwd(encoder_params, mesh, compute_dtype, int8,
+                              calib_imgs, act_maxes):
+    """(fwd imgs->grid, act_maxes) with params replicated over mesh."""
+    from ..parallel.mesh import replicated
 
-    decoder_cast = jax.device_put(
-        _cast_tree(decoder_params, compute_dtype), replicated(mesh))
     if int8:
         from ..models.encoder import ATTENTION_GRID
         from ..models.resnet import adaptive_avg_pool2d
@@ -314,6 +307,24 @@ def make_sharded_attention_captioner(encoder_params, decoder_params,
                 compute_dtype=compute_dtype)
             return grid.astype(compute_dtype)
 
+    return fwd, act_maxes
+
+
+def make_sharded_attention_captioner(encoder_params, decoder_params,
+                                     start_id, end_id, mesh, max_len=25,
+                                     compute_dtype=jnp.bfloat16,
+                                     int8=False, calib_imgs=None,
+                                     act_maxes=None):
+    """make_sharded_captioner for the soft-attention model: DP over
+    'data', params replicated, (tokens, alphas) both batch-sharded."""
+    from ..parallel.mesh import batch_sharding, replicated
+    from .greedy_attention import greedy_decode_attention
+
+    decoder_cast = jax.device_put(
+        _cast_tree(decoder_params, compute_dtype), replicated(mesh))
+    fwd, act_maxes = _replicated_attention_fwd(
+        encoder_params, mesh, compute_dtype, int8, calib_imgs, act_maxes)
+
     @partial(jax.jit,
              in_shardings=batch_sharding(mesh, 4),
              out_shardings=(batch_sharding(mesh, 2),
@@ -321,6 +332,39 @@ def make_sharded_attention_captioner(encoder_params, decoder_params,
     def caption(imgs):
         return greedy_decode_attention(decoder_cast, fwd(imgs),
                                        start_id, end_id, max_len=max_len)
+
+    caption.act_maxes = act_maxes
+    return caption
+
+
+def make_sharded_beam_captioner(encoder_params, decoder_params, start_id,
+                                end_id, mesh, beam_size=5,
+                                compute_dtype=jnp.bfloat16, int8=False,
+                                calib_imgs=None, act_maxes=None):
+    """Multi-chip beam-search captioning (the beam_eval serving path
+    scaled over the 'data' axis).
+
+    Per-image beam search is embarrassingly parallel across the batch
+    (beam.py vmaps an independent while_loop per image), so DP sharding
+    is the natural layout; XLA's only cross-chip work is the vmapped
+    while-condition reduction. Returns the beam_search_batched dict with
+    every leaf batch-sharded on axis 0.
+    """
+    from ..parallel.mesh import batch_sharding, replicated
+    from .beam import beam_search_batched
+
+    decoder_cast = jax.device_put(
+        _cast_tree(decoder_params, compute_dtype), replicated(mesh))
+    fwd, act_maxes = _replicated_attention_fwd(
+        encoder_params, mesh, compute_dtype, int8, calib_imgs, act_maxes)
+
+    @partial(jax.jit, in_shardings=batch_sharding(mesh, 4))
+    def caption(imgs):
+        out = beam_search_batched(decoder_cast, fwd(imgs), beam_size,
+                                  start_id, end_id)
+        return jax.lax.with_sharding_constraint(
+            out, jax.tree_util.tree_map(
+                lambda x: batch_sharding(mesh, x.ndim), out))
 
     caption.act_maxes = act_maxes
     return caption

@@ -166,6 +166,47 @@ def test_sharded_attention_captioner_matches_single_device():
     assert a2.sharding.spec[0] == "data"
 
 
+def test_sharded_beam_captioner_matches_single_device():
+    from icd_tpu.decoding.beam import beam_search_batched
+    from icd_tpu.decoding.serve import make_sharded_beam_captioner
+    from icd_tpu.models.attention import (AttentionDecoderParams,
+                                          init_attention_decoder)
+    from icd_tpu.models.encoder import encoder_attention_forward
+    from helpers import SMALL_DIM, small_init_encoder_attention
+
+    class _V:
+        def __len__(self):
+            return V
+
+    p = AttentionDecoderParams()
+    p.attention_dim = 8
+    p.decoder_dim = 8
+    p.embed_size = 8
+    p.vocab = _V()
+    encoder = small_init_encoder_attention(jax.random.PRNGKey(7))
+    decoder = init_attention_decoder(jax.random.PRNGKey(8), p,
+                                     encoder_dim=SMALL_DIM)
+    rng = np.random.default_rng(2)
+    imgs = jnp.asarray(rng.integers(0, 255, (B, 32, 32, 3), np.uint8))
+
+    grid, _ = encoder_attention_forward(encoder, imgs, train=False,
+                                        compute_dtype=jnp.float32)
+    ref = beam_search_batched(decoder, grid.astype(jnp.float32), 3,
+                              V - 3, V - 2)
+
+    mesh = make_mesh(n_data=8, n_model=1)
+    cap = make_sharded_beam_captioner(encoder, decoder, start_id=V - 3,
+                                      end_id=V - 2, mesh=mesh,
+                                      beam_size=3,
+                                      compute_dtype=jnp.float32)
+    out = cap(imgs)
+    np.testing.assert_array_equal(np.asarray(ref["seq"]),
+                                  np.asarray(out["seq"]))
+    np.testing.assert_array_equal(np.asarray(ref["seq_len"]),
+                                  np.asarray(out["seq_len"]))
+    assert out["seq"].sharding.spec[0] == "data"
+
+
 def test_shard_batch_layout():
     mesh = make_mesh(n_data=4, n_model=2)
     batch = {"imgs": np.zeros((8, 4, 4, 3), np.uint8),
