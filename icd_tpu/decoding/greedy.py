@@ -64,3 +64,69 @@ def greedy_decode_baseline(decoder_params, img_features, start_id, end_id,
     out = jax.lax.while_loop(
         cond, body, (h, c, first, finished, toks, jnp.int32(1)))
     return out[4]
+
+
+def quantize_baseline_decoder(decoder_params):
+    """Baseline decoder params -> W8 int8 serving weights (ops/qlinear).
+
+    The embedding table stays in its float dtype: the per-step gather
+    reads only B rows, so quantizing it saves nothing and would cost
+    exactness of the looked-up values.
+    """
+    from ..ops.qlinear import quantize_linear, quantize_lstm
+
+    wq, ws = quantize_linear(decoder_params["linear"]["w"])
+    return {
+        "embedding": decoder_params["embedding"],
+        "lstm": quantize_lstm(decoder_params["lstm"]),
+        "linear": {"wq": wq, "ws": ws,
+                   "b": decoder_params["linear"]["b"]
+                   .astype(jnp.float32)},
+    }
+
+
+def greedy_decode_baseline_int8(qdec, img_features, start_id, end_id,
+                                max_len=MAX_STEPS):
+    """greedy_decode_baseline over quantize_baseline_decoder weights.
+
+    Same early-exit while_loop and output contract; per-step weight HBM
+    traffic halves (the decode loop's bound — see ops/qlinear.py).
+    Token-level parity vs the float path is validated on a trained
+    checkpoint (tests + NOTES), not guaranteed: near-tie argmaxes can
+    flip under quantization noise.
+    """
+    from ..ops.qlinear import qlstm_cell, qmatmul
+
+    emb = qdec["embedding"]
+    lin = qdec["linear"]
+    batch = img_features.shape[0]
+
+    def logits_of(h):
+        return qmatmul(h, lin["wq"], lin["ws"]) + lin["b"]
+
+    h = jnp.zeros((batch, qdec["lstm"]["whq"].shape[0]), jnp.float32)
+    c = jnp.zeros_like(h)
+    h, c = qlstm_cell(qdec["lstm"], img_features.astype(jnp.float32),
+                      h, c)
+    first = jnp.argmax(logits_of(h), axis=-1).astype(jnp.int32)
+    finished = first == end_id
+
+    toks = jnp.full((batch, max_len), end_id, jnp.int32)
+    toks = toks.at[:, 0].set(first)
+
+    def cond(s):
+        return (s[5] < max_len) & jnp.logical_not(jnp.all(s[3]))
+
+    def body(s):
+        h, c, tok, finished, toks, i = s
+        x = emb[tok].astype(jnp.float32)
+        h, c = qlstm_cell(qdec["lstm"], x, h, c)
+        nxt = jnp.argmax(logits_of(h), axis=-1).astype(jnp.int32)
+        nxt = jnp.where(finished, end_id, nxt)
+        finished = finished | (nxt == end_id)
+        toks = jax.lax.dynamic_update_slice(toks, nxt[:, None], (0, i))
+        return (h, c, nxt, finished, toks, i + 1)
+
+    out = jax.lax.while_loop(
+        cond, body, (h, c, first, finished, toks, jnp.int32(1)))
+    return out[4]

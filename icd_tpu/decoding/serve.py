@@ -74,18 +74,41 @@ def _build_int8_backbone(encoder_params, compute_dtype, calib_imgs=None,
 
 def make_int8_captioner(encoder_params, decoder_params, start_id, end_id,
                         max_len=25, compute_dtype=jnp.bfloat16,
-                        calib_imgs=None, act_maxes=None):
+                        calib_imgs=None, act_maxes=None,
+                        int8_decoder=False):
     """Static-calibration W8A8 captioner: int8 backbone (2x MXU), bf16
     head + decode. Pass a few representative image batches as
     ``calib_imgs`` (or reuse saved ``act_maxes``); see
-    models/resnet_int8.py for the recipe."""
+    models/resnet_int8.py for the recipe.
+
+    int8_decoder=True additionally stores the LSTM gate weights and the
+    vocab projection as per-channel int8 (dynamic per-row activation
+    scales, ops/qlinear.py) — halves the decode loop's weight HBM
+    traffic; near-tie argmax tokens can flip vs the float decode."""
     from ..models.resnet_int8 import resnet_int8_forward
     from ..ops.image import normalize_imagenet
 
     qresnet, act_maxes = _build_int8_backbone(
         encoder_params, compute_dtype, calib_imgs, act_maxes)
     embed = _cast_tree(encoder_params["embed"], compute_dtype)
-    decoder_cast = _cast_tree(decoder_params, compute_dtype)
+    if int8_decoder:
+        from .greedy import (greedy_decode_baseline_int8,
+                             quantize_baseline_decoder)
+
+        # Quantize from the full-precision weights (not the bf16 cast);
+        # the embedding gather stays compute_dtype.
+        qdec = quantize_baseline_decoder(decoder_params)
+        qdec["embedding"] = jnp.asarray(qdec["embedding"], compute_dtype)
+
+        def decode(emb):
+            return greedy_decode_baseline_int8(
+                qdec, emb, start_id, end_id, max_len=max_len)
+    else:
+        decoder_cast = _cast_tree(decoder_params, compute_dtype)
+
+        def decode(emb):
+            return greedy_decode_baseline(
+                decoder_cast, emb, start_id, end_id, max_len=max_len)
 
     @jax.jit
     def caption(imgs):
@@ -94,8 +117,7 @@ def make_int8_captioner(encoder_params, decoder_params, start_id, end_id,
                                     out_dtype=compute_dtype)
         pooled = jnp.mean(feats, axis=(1, 2))
         emb = pooled.astype(embed["w"].dtype) @ embed["w"] + embed["b"]
-        return greedy_decode_baseline(
-            decoder_cast, emb, start_id, end_id, max_len=max_len)
+        return decode(emb)
 
     caption.act_maxes = act_maxes
     return caption
@@ -186,7 +208,8 @@ def make_repeat_captioner(encoder_params, decoder_params, start_id, end_id,
 def make_int8_repeat_captioner(encoder_params, decoder_params, start_id,
                                end_id, max_len=25,
                                compute_dtype=jnp.bfloat16, repeats=10,
-                               calib_imgs=None, act_maxes=None):
+                               calib_imgs=None, act_maxes=None,
+                               int8_decoder=False):
     """make_repeat_captioner over the static-int8 backbone (see
     make_int8_captioner); used by bench tooling on high-latency links."""
     from ..models.resnet_int8 import resnet_int8_forward
@@ -195,7 +218,22 @@ def make_int8_repeat_captioner(encoder_params, decoder_params, start_id,
     qresnet, act_maxes = _build_int8_backbone(
         encoder_params, compute_dtype, calib_imgs, act_maxes)
     embed = _cast_tree(encoder_params["embed"], compute_dtype)
-    decoder_cast = _cast_tree(decoder_params, compute_dtype)
+    if int8_decoder:
+        from .greedy import (greedy_decode_baseline_int8,
+                             quantize_baseline_decoder)
+
+        qdec = quantize_baseline_decoder(decoder_params)
+        qdec["embedding"] = jnp.asarray(qdec["embedding"], compute_dtype)
+
+        def decode(emb):
+            return greedy_decode_baseline_int8(
+                qdec, emb, start_id, end_id, max_len=max_len)
+    else:
+        decoder_cast = _cast_tree(decoder_params, compute_dtype)
+
+        def decode(emb):
+            return greedy_decode_baseline(
+                decoder_cast, emb, start_id, end_id, max_len=max_len)
 
     @jax.jit
     def caption_many(imgs, salt):
@@ -205,9 +243,7 @@ def make_int8_repeat_captioner(encoder_params, decoder_params, start_id,
                                         out_dtype=compute_dtype)
             pooled = jnp.mean(feats, axis=(1, 2))
             emb = pooled.astype(embed["w"].dtype) @ embed["w"] + embed["b"]
-            toks = greedy_decode_baseline(
-                decoder_cast, emb, start_id, end_id, max_len=max_len)
-            return acc + jnp.sum(toks)
+            return acc + jnp.sum(decode(emb))
         return jax.lax.fori_loop(0, repeats, body, jnp.int32(0))
 
     caption_many.act_maxes = act_maxes

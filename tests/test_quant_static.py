@@ -233,6 +233,49 @@ def test_int8_attention_captioner_runs():
     assert fn.act_maxes.shape[0] == 9
 
 
+def test_int8_decoder_matches_float_mostly():
+    """W8A8 decode loop (ops/qlinear) vs the float greedy decode: same
+    shapes/contract, and token streams agree except near-tie argmaxes."""
+    from icd_tpu.decoding.greedy import (greedy_decode_baseline,
+                                         greedy_decode_baseline_int8,
+                                         quantize_baseline_decoder)
+    from icd_tpu.models.baseline import (BaselineDecoderParams,
+                                         init_baseline_decoder)
+
+    p = BaselineDecoderParams()
+    p.vocab_size = 50
+    p.embed_size = 16
+    p.hidden_size = 16
+    dec = init_baseline_decoder(jax.random.PRNGKey(0), p)
+    feats = jax.random.normal(jax.random.PRNGKey(1), (6, 16)) * 0.5
+
+    ref = np.asarray(greedy_decode_baseline(dec, feats, 47, 48,
+                                            max_len=8))
+    qdec = quantize_baseline_decoder(dec)
+    out = np.asarray(greedy_decode_baseline_int8(qdec, feats, 47, 48,
+                                                 max_len=8))
+    assert out.shape == ref.shape
+    assert out.dtype == np.int32
+    # random near-zero logits are the worst case for argmax flips; the
+    # streams must still mostly agree token-for-token
+    agree = (out == ref).mean()
+    assert agree > 0.7, agree
+
+
+def test_qlinear_matmul_accuracy():
+    """qmatmul relative error is at the int8 noise floor (~1%)."""
+    from icd_tpu.ops.qlinear import qmatmul, quantize_linear
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(2))
+    x = jax.random.normal(k1, (8, 32))
+    w = jax.random.normal(k2, (32, 64))
+    wq, ws = quantize_linear(w)
+    exact = np.asarray(x @ w)
+    approx = np.asarray(qmatmul(x, wq, ws))
+    rel = np.linalg.norm(approx - exact) / np.linalg.norm(exact)
+    assert rel < 0.02, rel
+
+
 def test_int8_captioner_requires_calibration():
     from icd_tpu.decoding.serve import make_int8_captioner
     from icd_tpu.models.baseline import (

@@ -74,6 +74,15 @@ def main():
     print("int8 : %.3f ms/batch -> %.0f captions/s" %
           (step8 * 1e3, BATCH / step8), flush=True)
 
+    int8d = make_int8_repeat_captioner(
+        encoder, decoder, start_id=VOCAB - 3, end_id=VOCAB - 2,
+        max_len=DECODE_LEN, repeats=REPEATS,
+        act_maxes=int8.act_maxes, int8_decoder=True)
+    print("compiling int8+dec...", flush=True)
+    step8d = time_captioner(int8d, imgs, roundtrip, salt_base + 200)
+    print("int8+dec: %.3f ms/batch -> %.0f captions/s" %
+          (step8d * 1e3, BATCH / step8d), flush=True)
+
 
 if __name__ == "__main__":
     main()
