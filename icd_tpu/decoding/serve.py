@@ -148,12 +148,15 @@ def make_attention_captioner(encoder_params, decoder_params, start_id,
 def make_int8_attention_captioner(encoder_params, decoder_params, start_id,
                                   end_id, max_len=25,
                                   compute_dtype=jnp.bfloat16,
-                                  calib_imgs=None, act_maxes=None):
-    """Static-int8 backbone + bf16 soft-attention decode.
+                                  calib_imgs=None, act_maxes=None,
+                                  int8_decoder=False):
+    """Static-int8 backbone + soft-attention decode.
 
     The attention encoder has no Linear head (encoder_attention_forward
     is backbone + 14x14 adaptive pool), so the quantized tree is built
-    from encoder_params['resnet'] alone.
+    from encoder_params['resnet'] alone. int8_decoder=True additionally
+    quantizes the decode loop's LSTM gates and vocab projection
+    (ops/qlinear.py); attention/gate projections stay float.
     """
     from ..models.resnet import adaptive_avg_pool2d
     from ..models.resnet_int8 import resnet_int8_forward
@@ -164,6 +167,20 @@ def make_int8_attention_captioner(encoder_params, decoder_params, start_id,
     qresnet, act_maxes = _build_int8_backbone(
         encoder_params, compute_dtype, calib_imgs, act_maxes)
     decoder_cast = _cast_tree(decoder_params, compute_dtype)
+    if int8_decoder:
+        from .greedy_attention import (greedy_decode_attention_int8,
+                                       quantize_attention_decoder)
+
+        qdec = quantize_attention_decoder(decoder_params)
+
+        def decode(grid):
+            return greedy_decode_attention_int8(
+                decoder_cast, qdec, grid, start_id, end_id,
+                max_len=max_len)
+    else:
+        def decode(grid):
+            return greedy_decode_attention(
+                decoder_cast, grid, start_id, end_id, max_len=max_len)
 
     @jax.jit
     def caption(imgs):
@@ -171,8 +188,7 @@ def make_int8_attention_captioner(encoder_params, decoder_params, start_id,
         feats = resnet_int8_forward(qresnet, x.astype(compute_dtype),
                                     out_dtype=compute_dtype)
         grid = adaptive_avg_pool2d(feats, ATTENTION_GRID)
-        return greedy_decode_attention(
-            decoder_cast, grid, start_id, end_id, max_len=max_len)
+        return decode(grid)
 
     caption.act_maxes = act_maxes
     return caption

@@ -262,6 +262,34 @@ def test_int8_decoder_matches_float_mostly():
     assert agree > 0.7, agree
 
 
+def test_int8_attention_decoder_matches_float_mostly():
+    from icd_tpu.decoding.greedy_attention import (
+        greedy_decode_attention, greedy_decode_attention_int8,
+        quantize_attention_decoder)
+    from icd_tpu.models.attention import (AttentionDecoderParams,
+                                          init_attention_decoder)
+
+    class _V:
+        def __len__(self):
+            return 40
+
+    p = AttentionDecoderParams()
+    p.attention_dim = 12
+    p.decoder_dim = 12
+    p.embed_size = 8
+    p.vocab = _V()
+    dec = init_attention_decoder(jax.random.PRNGKey(0), p,
+                                 encoder_dim=16)
+    grid = jax.random.normal(jax.random.PRNGKey(1), (4, 9, 16)) * 0.5
+    ref_t, ref_a = greedy_decode_attention(dec, grid, 37, 38, max_len=7)
+    qdec = quantize_attention_decoder(dec)
+    out_t, out_a = greedy_decode_attention_int8(dec, qdec, grid, 37, 38,
+                                                max_len=7)
+    assert out_t.shape == ref_t.shape and out_a.shape == ref_a.shape
+    agree = (np.asarray(out_t) == np.asarray(ref_t)).mean()
+    assert agree > 0.7, agree
+
+
 def test_qlinear_matmul_accuracy():
     """qmatmul relative error is at the int8 noise floor (~1%)."""
     from icd_tpu.ops.qlinear import qmatmul, quantize_linear

@@ -73,7 +73,24 @@ def main():
             return acc + jnp.sum(toks)
         return jax.lax.fori_loop(0, REPEATS, body, jnp.int32(0))
 
-    for label, fn in (("bf16", run_bf16), ("int8", run_int8)):
+    from icd_tpu.decoding.greedy_attention import (
+        greedy_decode_attention_int8, quantize_attention_decoder)
+    qdec = quantize_attention_decoder(dec16)
+
+    @jax.jit
+    def run_int8_dec(imgs, salt):
+        def body(i, acc):
+            x = normalize_imagenet(imgs + (i + salt).astype(jnp.uint8))
+            feats = resnet_int8_forward(qresnet, x.astype(jnp.bfloat16))
+            grid = adaptive_avg_pool2d(feats, ATTENTION_GRID)
+            toks, _ = greedy_decode_attention_int8(
+                dec16, qdec, grid, VOCAB - 3, VOCAB - 2,
+                max_len=DECODE_LEN)
+            return acc + jnp.sum(toks)
+        return jax.lax.fori_loop(0, REPEATS, body, jnp.int32(0))
+
+    for label, fn in (("bf16", run_bf16), ("int8", run_int8),
+                      ("int8+dec", run_int8_dec)):
         np.asarray(fn(imgs, jnp.int32(salt_base + 10)))
         np.asarray(fn(imgs, jnp.int32(salt_base + 11)))
         times = []
