@@ -72,6 +72,40 @@ def encoder_attention_forward(params, imgs, train=False, compute_dtype=None,
     return feats, dict(params, resnet=new_resnet)
 
 
+def encoder_forward_int8(params, qresnet, imgs,
+                         compute_dtype=jnp.bfloat16):
+    """encoder_forward over a static-int8 backbone (training fast path
+    for the FROZEN encoder; --int8_encoder).
+
+    No gradient flows through the backbone when it is frozen, so the
+    quantized forward only perturbs the features the decoder sees.
+    BN running stats do NOT update (they are folded into the dequant
+    affine) — a deliberate divergence from the reference's train-mode
+    BN, documented at the flag.
+    """
+    from .resnet_int8 import resnet_int8_forward
+
+    x = normalize_imagenet(imgs) if imgs.dtype == jnp.uint8 else imgs
+    feats = resnet_int8_forward(qresnet, x.astype(compute_dtype),
+                                out_dtype=compute_dtype)
+    pooled = global_avg_pool(feats)
+    embed = params["embed"]
+    return pooled.astype(embed["w"].dtype) @ embed["w"] + embed["b"]
+
+
+def encoder_attention_forward_int8(qresnet, imgs,
+                                   compute_dtype=jnp.bfloat16,
+                                   grid=ATTENTION_GRID):
+    """encoder_attention_forward over a static-int8 backbone (see
+    encoder_forward_int8)."""
+    from .resnet_int8 import resnet_int8_forward
+
+    x = normalize_imagenet(imgs) if imgs.dtype == jnp.uint8 else imgs
+    feats = resnet_int8_forward(qresnet, x.astype(compute_dtype),
+                                out_dtype=compute_dtype)
+    return adaptive_avg_pool2d(feats, grid)
+
+
 def trainable_mask(params, fine_tune=False, head=True):
     """Boolean pytree: which encoder params receive gradients.
 

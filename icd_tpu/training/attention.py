@@ -31,7 +31,8 @@ from ..models.attention import (
     AttentionDecoderParams, attention_decoder_forward,
     init_attention_decoder, load_pretrained_embeddings)
 from ..models.encoder import (
-    encoder_attention_forward, init_encoder_attention, trainable_mask)
+    encoder_attention_forward, encoder_attention_forward_int8,
+    init_encoder_attention, trainable_mask)
 from ..parallel.mesh import batch_sharding, make_data_mesh, replicated
 from ..training.baseline import make_optimizer_for, pretrained_resnet_or_none
 from ..training.common import (
@@ -70,7 +71,8 @@ def _decoder_trainable_mask(decoder_params, fine_tune_embedding):
     return mask
 
 
-def make_train_step(mask, tx, alpha_c, dropout_rate, compute_dtype=None):
+def make_train_step(mask, tx, alpha_c, dropout_rate, compute_dtype=None,
+                    qresnet=None):
     """Jitted SPMD train step for the attention model.
 
     BERT embeddings (when --use_bert) are precomputed on host and passed
@@ -79,15 +81,24 @@ def make_train_step(mask, tx, alpha_c, dropout_rate, compute_dtype=None):
     compute_dtype (e.g. jnp.bfloat16 via --amp) runs forward/backward in
     that dtype with f32 master weights and f32 loss/softmax/regularizer
     (the TPU mixed-precision extension; None = reference f32 numerics).
+
+    qresnet (--int8_encoder): static-int8 frozen-encoder forward; BN
+    running stats do not update (see training/baseline.py).
     """
 
     def step(trainable, frozen, opt_state, rng, imgs, captions,
              decode_lengths, embeddings=None):
         def loss_fn(trainable):
             full = merge(trainable, frozen)
-            grid, new_enc = encoder_attention_forward(
-                full["encoder"], imgs, train=True,
-                compute_dtype=compute_dtype)
+            if qresnet is not None:
+                grid = encoder_attention_forward_int8(
+                    qresnet, imgs,
+                    compute_dtype=compute_dtype or jnp.float32)
+                new_enc = None
+            else:
+                grid, new_enc = encoder_attention_forward(
+                    full["encoder"], imgs, train=True,
+                    compute_dtype=compute_dtype)
             scores, alphas = attention_decoder_forward(
                 cast_floating(full["decoder"], compute_dtype),
                 cast_floating(grid, compute_dtype), captions,
@@ -112,9 +123,10 @@ def make_train_step(mask, tx, alpha_c, dropout_rate, compute_dtype=None):
             loss_fn, has_aux=True)(trainable)
         updates, opt_state = tx.update(grads, opt_state, trainable)
         trainable = optax.apply_updates(trainable, updates)
-        _, new_frozen_enc = partition(new_enc, mask["encoder"])
-        frozen = dict(frozen, encoder=merge_bn_stats(
-            new_frozen_enc, frozen["encoder"]))
+        if new_enc is not None:
+            _, new_frozen_enc = partition(new_enc, mask["encoder"])
+            frozen = dict(frozen, encoder=merge_bn_stats(
+                new_frozen_enc, frozen["encoder"]))
         return trainable, frozen, opt_state, loss
 
     return step
@@ -181,10 +193,22 @@ def train(args, mesh=None):
     else:
         opt_state = tx.init(trainable)
 
+    compute_dtype = (jnp.bfloat16 if getattr(args, "amp", False)
+                     else None)
+    qresnet = None
+    if getattr(args, "int8_encoder", False):
+        from ..models.resnet_int8 import (calibrate_act_maxes,
+                                          quantize_resnet)
+
+        calib = next(iter(loader))
+        qresnet = quantize_resnet(
+            encoder["resnet"],
+            calibrate_act_maxes(encoder["resnet"],
+                                jnp.asarray(calib["imgs"]),
+                                compute_dtype or jnp.float32))
     step_fn = jax.jit(make_train_step(
         mask, tx, args.alpha_c, args.decoder_dropout,
-        compute_dtype=(jnp.bfloat16 if getattr(args, "amp", False)
-                       else None)))
+        compute_dtype=compute_dtype, qresnet=qresnet))
 
     num_batches = len(loader)
     epoch_losses = metrics.get("epoch_losses", [])

@@ -36,7 +36,8 @@ from ..metric import AccumulatingMetric, get_eval_score
 from ..models.baseline import (
     BaselineDecoderParams, baseline_decoder_forward, init_baseline_decoder,
     load_pretrained_embeddings)
-from ..models.encoder import encoder_forward, init_encoder, trainable_mask
+from ..models.encoder import (
+    encoder_forward, encoder_forward_int8, init_encoder, trainable_mask)
 from ..parallel.mesh import batch_sharding, make_data_mesh, replicated
 from ..training.common import (
     cast_floating, cross_entropy, make_optimizer, merge, merge_bn_stats,
@@ -88,7 +89,7 @@ def build_baseline(args, vocab, rng):
     return encoder, decoder
 
 
-def make_train_step(pad_idx, mask, tx, compute_dtype=None):
+def make_train_step(pad_idx, mask, tx, compute_dtype=None, qresnet=None):
     """Build the jitted SPMD train step.
 
     mask: bool pytree over {'encoder','decoder'} marking trainable leaves.
@@ -99,14 +100,24 @@ def make_train_step(pad_idx, mask, tx, compute_dtype=None):
     in that dtype with f32 master weights, f32 loss/softmax, and f32
     optimizer/BN-stat state — the TPU mixed-precision extension; the
     default (None) is the reference's f32 numerics.
+
+    qresnet (--int8_encoder, requires a fully frozen backbone): run the
+    encoder forward through the static-int8 trunk. BN running stats do
+    not update in this mode (they are folded into the dequant affine).
     """
 
     def step(trainable, frozen, opt_state, imgs, captions):
         def loss_fn(trainable):
             full = merge(trainable, frozen)
-            feats, new_enc = encoder_forward(
-                full["encoder"], imgs, train=True,
-                compute_dtype=compute_dtype)
+            if qresnet is not None:
+                feats = encoder_forward_int8(
+                    full["encoder"], qresnet, imgs,
+                    compute_dtype=compute_dtype or jnp.float32)
+                new_enc = None
+            else:
+                feats, new_enc = encoder_forward(
+                    full["encoder"], imgs, train=True,
+                    compute_dtype=compute_dtype)
             scores = baseline_decoder_forward(
                 cast_floating(full["decoder"], compute_dtype),
                 cast_floating(feats, compute_dtype), captions)
@@ -119,12 +130,13 @@ def make_train_step(pad_idx, mask, tx, compute_dtype=None):
             loss_fn, has_aux=True)(trainable)
         updates, opt_state = tx.update(grads, opt_state, trainable)
         trainable = optax.apply_updates(trainable, updates)
-        # Thread ONLY the updated BN running stats (always in the frozen
-        # partition) back into the state — never the compute-cast
-        # weights.
-        _, new_frozen_enc = partition(new_enc, mask["encoder"])
-        frozen = dict(frozen, encoder=merge_bn_stats(
-            new_frozen_enc, frozen["encoder"]))
+        if new_enc is not None:
+            # Thread ONLY the updated BN running stats (always in the
+            # frozen partition) back into the state — never the
+            # compute-cast weights.
+            _, new_frozen_enc = partition(new_enc, mask["encoder"])
+            frozen = dict(frozen, encoder=merge_bn_stats(
+                new_frozen_enc, frozen["encoder"]))
         return trainable, frozen, opt_state, loss
 
     return step
@@ -196,8 +208,24 @@ def train(args, mesh=None):
         opt_state = tx.init(trainable)
 
     compute_dtype = jnp.bfloat16 if getattr(args, "amp", False) else None
+    qresnet = None
+    if getattr(args, "int8_encoder", False):
+        # The backbone is frozen in every published config
+        # (trainable_mask(fine_tune=False)), so the int8 forward only
+        # perturbs the features the decoder sees; calibrate on one
+        # (shuffled) batch.
+        from ..models.resnet_int8 import (calibrate_act_maxes,
+                                          quantize_resnet)
+
+        calib = next(iter(loader))
+        qresnet = quantize_resnet(
+            encoder["resnet"],
+            calibrate_act_maxes(encoder["resnet"],
+                                jnp.asarray(calib["imgs"]),
+                                compute_dtype or jnp.float32))
     step_fn = jax.jit(make_train_step(pad_idx, mask, tx,
-                                      compute_dtype=compute_dtype))
+                                      compute_dtype=compute_dtype,
+                                      qresnet=qresnet))
 
     train_start = time.time()
     num_batches = len(loader)

@@ -38,7 +38,7 @@ def _our_flags(parser):
 
 # Deliberate TPU-only additions on top of the reference's flag set;
 # every reference flag must still exist with reference semantics.
-TRAIN_EXTENSIONS = {"--amp"}
+TRAIN_EXTENSIONS = {"--amp", "--int8_encoder"}
 
 
 def test_train_flags_match_reference():

@@ -68,17 +68,26 @@ def main():
     from icd_tpu.utils.benchmarking import tunnel_timer
     salt_base, roundtrip = tunnel_timer()
 
-    for label, dtype in (("f32", None), ("amp-bf16", jnp.bfloat16)):
+    from icd_tpu.models.resnet_int8 import (calibrate_act_maxes,
+                                            quantize_resnet)
+    qresnet = quantize_resnet(
+        encoder["resnet"],
+        calibrate_act_maxes(encoder["resnet"], imgs, jnp.bfloat16))
+
+    for label, dtype, qr in (("f32", None, None),
+                             ("amp-bf16", jnp.bfloat16, None),
+                             ("amp+int8enc", jnp.bfloat16, qresnet)):
         if attention:
             att_step = ta.make_train_step(
                 mask, tx, alpha_c=1.0, dropout_rate=0.5,
-                compute_dtype=dtype)
+                compute_dtype=dtype, qresnet=qr)
             rng = jax.random.PRNGKey(7)
 
             def step(t, f, o, im, cap):
                 return att_step(t, f, o, rng, im, cap, decode_lengths)
         else:
-            step = tb.make_train_step(0, mask, tx, compute_dtype=dtype)
+            step = tb.make_train_step(0, mask, tx, compute_dtype=dtype,
+                                      qresnet=qr)
 
         @jax.jit
         def run(trainable, frozen, opt_state, salt):

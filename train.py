@@ -70,6 +70,13 @@ def build_parser():
                              "weights, loss, optimizer and BN statistics); "
                              "TPU extension, default off for reference-"
                              "parity f32 numerics.")
+    parser.add_argument("--int8_encoder", type=bool, default=False,
+                        help="run the FROZEN encoder backbone as the "
+                             "static-calibration int8 trunk during "
+                             "training (calibrated on one batch). TPU "
+                             "extension, default off: features are "
+                             "int8-perturbed and BN running statistics "
+                             "do not update during training.")
     return parser
 
 
