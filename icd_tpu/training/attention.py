@@ -197,15 +197,15 @@ def train(args, mesh=None):
                      else None)
     qresnet = None
     if getattr(args, "int8_encoder", False):
-        from ..models.resnet_int8 import (calibrate_act_maxes,
-                                          quantize_resnet)
+        from .baseline import _prepare_int8_encoder
 
-        calib = next(iter(loader))
-        qresnet = quantize_resnet(
-            encoder["resnet"],
-            calibrate_act_maxes(encoder["resnet"],
-                                jnp.asarray(calib["imgs"]),
-                                compute_dtype or jnp.float32))
+        qresnet, encoder = _prepare_int8_encoder(
+            encoder, loader, encoder_attention_forward, compute_dtype)
+        # Re-partition so the warmed-up BN stats reach the checkpoint
+        # (eval runs inference BN on them).
+        params = {"encoder": encoder, "decoder": merge(
+            trainable, frozen)["decoder"]}
+        trainable, frozen = partition(params, mask)
     step_fn = jax.jit(make_train_step(
         mask, tx, args.alpha_c, args.decoder_dropout,
         compute_dtype=compute_dtype, qresnet=qresnet))
