@@ -18,7 +18,9 @@ def greedy_decode_attention(decoder_params, encoder_grid, start_id, end_id,
                             max_len=MAX_STEPS):
     """Greedy decode from (B, gh, gw, D) or (B, P, D) encoder grids.
 
-    Returns (tokens (B, max_len), alphas (B, max_len, P)).
+    Returns (tokens (B, max_len), alphas (B, max_len, P) f32); alpha
+    rows past a caption's <end> are zero, in-caption rows are softmax
+    rows over the P pixels.
     """
     if encoder_grid.ndim == 4:
         b = encoder_grid.shape[0]
@@ -33,10 +35,12 @@ def greedy_decode_attention(decoder_params, encoder_grid, start_id, end_id,
 
     p = encoder_grid.shape[1]
 
-    # while_loop with an all-finished exit (see greedy.py): output is
-    # identical to the fixed-length scan — post-<end> token slots are
-    # end_id and their alpha rows stay zero — but trained-model batches
-    # stop as soon as every caption has finished.
+    # while_loop with an all-finished exit (see greedy.py): tokens are
+    # identical to the fixed-length scan (post-<end> slots are end_id),
+    # and trained-model batches stop as soon as every caption has
+    # finished. CONTRACT: alpha rows after a caption's <end> are ZERO
+    # f32 (the scan used to repeat the frozen-state attention row
+    # there); only in-caption rows are meaningful softmax rows.
     toks = jnp.full((batch, max_len), end_id, jnp.int32)
     alphas = jnp.zeros((batch, max_len, p), jnp.float32)
 

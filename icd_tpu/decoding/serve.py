@@ -26,6 +26,32 @@ def _cast_tree(tree, dtype):
     return jax.tree_util.tree_map(lambda x: jnp.asarray(x, dtype), tree)
 
 
+def _baseline_decode_fn(decoder_params, start_id, end_id, max_len,
+                        compute_dtype, int8_decoder):
+    """feats -> tokens closure for the baseline decoders (shared by the
+    single-chip and repeat int8 captioners)."""
+    if int8_decoder:
+        from .greedy import (greedy_decode_baseline_int8,
+                             quantize_baseline_decoder)
+
+        # Quantize from the full-precision weights (not the bf16 cast);
+        # the embedding gather stays compute_dtype.
+        qdec = quantize_baseline_decoder(decoder_params)
+        qdec["embedding"] = jnp.asarray(qdec["embedding"], compute_dtype)
+
+        def decode(feats):
+            return greedy_decode_baseline_int8(
+                qdec, feats, start_id, end_id, max_len=max_len)
+    else:
+        decoder_cast = _cast_tree(decoder_params, compute_dtype)
+
+        def decode(feats):
+            return greedy_decode_baseline(
+                decoder_cast, feats, start_id, end_id, max_len=max_len)
+
+    return decode
+
+
 
 def make_captioner(encoder_params, decoder_params, start_id, end_id,
                    max_len=25, compute_dtype=jnp.bfloat16, int8=False):
@@ -91,24 +117,8 @@ def make_int8_captioner(encoder_params, decoder_params, start_id, end_id,
     qresnet, act_maxes = _build_int8_backbone(
         encoder_params, compute_dtype, calib_imgs, act_maxes)
     embed = _cast_tree(encoder_params["embed"], compute_dtype)
-    if int8_decoder:
-        from .greedy import (greedy_decode_baseline_int8,
-                             quantize_baseline_decoder)
-
-        # Quantize from the full-precision weights (not the bf16 cast);
-        # the embedding gather stays compute_dtype.
-        qdec = quantize_baseline_decoder(decoder_params)
-        qdec["embedding"] = jnp.asarray(qdec["embedding"], compute_dtype)
-
-        def decode(emb):
-            return greedy_decode_baseline_int8(
-                qdec, emb, start_id, end_id, max_len=max_len)
-    else:
-        decoder_cast = _cast_tree(decoder_params, compute_dtype)
-
-        def decode(emb):
-            return greedy_decode_baseline(
-                decoder_cast, emb, start_id, end_id, max_len=max_len)
+    decode = _baseline_decode_fn(decoder_params, start_id, end_id,
+                                 max_len, compute_dtype, int8_decoder)
 
     @jax.jit
     def caption(imgs):
@@ -166,18 +176,25 @@ def make_int8_attention_captioner(encoder_params, decoder_params, start_id,
 
     qresnet, act_maxes = _build_int8_backbone(
         encoder_params, compute_dtype, calib_imgs, act_maxes)
-    decoder_cast = _cast_tree(decoder_params, compute_dtype)
     if int8_decoder:
         from .greedy_attention import (greedy_decode_attention_int8,
                                        quantize_attention_decoder)
 
         qdec = quantize_attention_decoder(decoder_params)
+        # Drop the float twins of the quantized weights (LSTM gates +
+        # vocab projection, the two largest tensors) so they don't sit
+        # dead in HBM next to their int8 copies.
+        decoder_cast = _cast_tree(
+            {k: v for k, v in decoder_params.items()
+             if k not in ("lstm", "fc")}, compute_dtype)
 
         def decode(grid):
             return greedy_decode_attention_int8(
                 decoder_cast, qdec, grid, start_id, end_id,
                 max_len=max_len)
     else:
+        decoder_cast = _cast_tree(decoder_params, compute_dtype)
+
         def decode(grid):
             return greedy_decode_attention(
                 decoder_cast, grid, start_id, end_id, max_len=max_len)
@@ -234,22 +251,8 @@ def make_int8_repeat_captioner(encoder_params, decoder_params, start_id,
     qresnet, act_maxes = _build_int8_backbone(
         encoder_params, compute_dtype, calib_imgs, act_maxes)
     embed = _cast_tree(encoder_params["embed"], compute_dtype)
-    if int8_decoder:
-        from .greedy import (greedy_decode_baseline_int8,
-                             quantize_baseline_decoder)
-
-        qdec = quantize_baseline_decoder(decoder_params)
-        qdec["embedding"] = jnp.asarray(qdec["embedding"], compute_dtype)
-
-        def decode(emb):
-            return greedy_decode_baseline_int8(
-                qdec, emb, start_id, end_id, max_len=max_len)
-    else:
-        decoder_cast = _cast_tree(decoder_params, compute_dtype)
-
-        def decode(emb):
-            return greedy_decode_baseline(
-                decoder_cast, emb, start_id, end_id, max_len=max_len)
+    decode = _baseline_decode_fn(decoder_params, start_id, end_id,
+                                 max_len, compute_dtype, int8_decoder)
 
     @jax.jit
     def caption_many(imgs, salt):

@@ -46,9 +46,14 @@ def from_torch_lstm(weight_ih, weight_hh, bias_ih, bias_hh):
     }
 
 
-def lstm_cell(params, x, h, c):
-    """One LSTM step. x: (B, in), h/c: (B, H) -> (new_h, new_c)."""
-    gates = x @ params["wi"] + params["bi"] + h @ params["wh"] + params["bh"]
+def gates_to_state(gates, c):
+    """(B, 4H) pre-activation gates -> (new_h, new_c).
+
+    The (i, f, g, o) gate order is the load-bearing PyTorch convention
+    (weight-convert parity); every LSTM variant (float lstm_cell, the
+    W8A8 serving cell in ops/qlinear.py) must route through this one
+    implementation.
+    """
     i, f, g, o = jnp.split(gates, 4, axis=-1)
     i = jax.nn.sigmoid(i)
     f = jax.nn.sigmoid(f)
@@ -57,6 +62,12 @@ def lstm_cell(params, x, h, c):
     new_c = f * c + i * g
     new_h = o * jnp.tanh(new_c)
     return new_h, new_c
+
+
+def lstm_cell(params, x, h, c):
+    """One LSTM step. x: (B, in), h/c: (B, H) -> (new_h, new_c)."""
+    gates = x @ params["wi"] + params["bi"] + h @ params["wh"] + params["bh"]
+    return gates_to_state(gates, c)
 
 
 def lstm_scan(params, xs, h0=None, c0=None):

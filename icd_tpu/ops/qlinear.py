@@ -62,13 +62,8 @@ def quantize_lstm(params):
 
 def qlstm_cell(qp, x, h, c):
     """lstm_cell with W8A8 gate matmuls; x/h/c f32, returns f32."""
+    from ..models.lstm import gates_to_state
+
     gates = qmatmul(x, qp["wiq"], qp["wis"]) + \
         qmatmul(h, qp["whq"], qp["whs"]) + qp["b"]
-    i, f, g, o = jnp.split(gates, 4, axis=-1)
-    i = jax.nn.sigmoid(i)
-    f = jax.nn.sigmoid(f)
-    g = jnp.tanh(g)
-    o = jax.nn.sigmoid(o)
-    new_c = f * c + i * g
-    new_h = o * jnp.tanh(new_c)
-    return new_h, new_c
+    return gates_to_state(gates, c)

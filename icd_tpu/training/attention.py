@@ -200,7 +200,8 @@ def train(args, mesh=None):
         from .baseline import _prepare_int8_encoder
 
         qresnet, encoder = _prepare_int8_encoder(
-            encoder, loader, encoder_attention_forward, compute_dtype)
+            encoder, loader, encoder_attention_forward, compute_dtype,
+            warmup=args.checkpoint is None)
         # Re-partition so the warmed-up BN stats reach the checkpoint
         # (eval runs inference BN on them).
         params = {"encoder": encoder, "decoder": merge(

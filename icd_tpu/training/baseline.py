@@ -163,7 +163,8 @@ def make_optimizer_for(trainable, args):
 INT8_BN_WARMUP_BATCHES = 16
 
 
-def _prepare_int8_encoder(encoder, loader, fwd, compute_dtype):
+def _prepare_int8_encoder(encoder, loader, fwd, compute_dtype,
+                          warmup=True):
     """BN-adapt then quantize the frozen backbone for --int8_encoder.
 
     The int8 trunk runs inference-mode BN (stats folded into the dequant
@@ -177,19 +178,26 @@ def _prepare_int8_encoder(encoder, loader, fwd, compute_dtype):
     the flag correct in both regimes. Returns (qresnet, encoder with
     adapted stats) — the stats must reach the checkpoint so eval's
     inference BN agrees with what the decoder trained against.
+
+    warmup=False (checkpoint resume): the checkpointed stats were
+    already adapted by the original run; re-warming would shift the
+    features the decoder trained against discontinuously. Calibration
+    still runs on one fresh batch (per-site abs-maxes are stable batch
+    to batch, unlike BN statistics).
     """
     from ..models.resnet_int8 import calibrate_act_maxes, quantize_resnet
 
     warm = jax.jit(lambda p, im: fwd(p, im, train=True)[1])
     imgs = None
     it = iter(loader)
-    for _ in range(INT8_BN_WARMUP_BATCHES):
+    for _ in range(INT8_BN_WARMUP_BATCHES if warmup else 1):
         try:
             batch = next(it)
         except StopIteration:
             break
         imgs = jnp.asarray(batch["imgs"])
-        encoder = warm(encoder, imgs)
+        if warmup:
+            encoder = warm(encoder, imgs)
     qresnet = quantize_resnet(
         encoder["resnet"],
         calibrate_act_maxes(encoder["resnet"], imgs,
@@ -248,7 +256,8 @@ def train(args, mesh=None):
     qresnet = None
     if getattr(args, "int8_encoder", False):
         qresnet, encoder = _prepare_int8_encoder(
-            encoder, loader, encoder_forward, compute_dtype)
+            encoder, loader, encoder_forward, compute_dtype,
+            warmup=args.checkpoint is None)
         # Re-partition: the warmed-up BN stats live in the frozen half
         # and must reach the checkpoint (eval runs inference BN on them).
         params = {"encoder": encoder, "decoder": merge(

@@ -75,7 +75,9 @@ def main():
 
     from icd_tpu.decoding.greedy_attention import (
         greedy_decode_attention_int8, quantize_attention_decoder)
-    qdec = quantize_attention_decoder(dec16)
+    # Quantize from full precision, matching the serve.py int8_decoder
+    # path (not the bf16 cast).
+    qdec = quantize_attention_decoder(decoder)
 
     @jax.jit
     def run_int8_dec(imgs, salt):
