@@ -272,7 +272,8 @@ def make_int8_repeat_captioner(encoder_params, decoder_params, start_id,
 def make_sharded_captioner(encoder_params, decoder_params, start_id,
                            end_id, mesh, max_len=25,
                            compute_dtype=jnp.bfloat16, int8=False,
-                           calib_imgs=None, act_maxes=None):
+                           calib_imgs=None, act_maxes=None,
+                           int8_decoder=False):
     """Multi-chip serving: SPMD data parallelism over ``mesh``'s 'data'
     axis (the reference's capability ceiling is one device, SURVEY §2c;
     this is the TPU-native scale-out).
@@ -284,7 +285,9 @@ def make_sharded_captioner(encoder_params, decoder_params, start_id,
     throughput scales with the 'data' axis. Batch must divide it.
 
     int8=True uses the static-calibration W8A8 backbone (pass
-    calib_imgs or saved act_maxes, as in make_int8_captioner).
+    calib_imgs or saved act_maxes, as in make_int8_captioner);
+    int8_decoder=True additionally quantizes the decode-loop weights
+    (ops/qlinear.py).
     """
     from ..parallel.mesh import batch_sharding, replicated
 
@@ -298,8 +301,6 @@ def make_sharded_captioner(encoder_params, decoder_params, start_id,
         embed = jax.device_put(
             _cast_tree(encoder_params["embed"], compute_dtype),
             replicated(mesh))
-        decoder_cast = jax.device_put(
-            _cast_tree(decoder_params, compute_dtype), replicated(mesh))
 
         def fwd(imgs):
             x = normalize_imagenet(imgs)
@@ -309,8 +310,6 @@ def make_sharded_captioner(encoder_params, decoder_params, start_id,
             return (pooled.astype(embed["w"].dtype) @ embed["w"]
                     + embed["b"])
     else:
-        decoder_cast = jax.device_put(
-            _cast_tree(decoder_params, compute_dtype), replicated(mesh))
         encoder_cast = jax.device_put(
             _cast_tree(encoder_params, compute_dtype), replicated(mesh))
 
@@ -319,12 +318,16 @@ def make_sharded_captioner(encoder_params, decoder_params, start_id,
                                        compute_dtype=compute_dtype)
             return feats.astype(compute_dtype)
 
+    # Decoder weights are jit closure constants; XLA replicates them
+    # over the mesh at compile time.
+    decode = _baseline_decode_fn(decoder_params, start_id, end_id,
+                                 max_len, compute_dtype, int8_decoder)
+
     @partial(jax.jit,
              in_shardings=batch_sharding(mesh, 4),
              out_shardings=batch_sharding(mesh, 2))
     def caption(imgs):
-        return greedy_decode_baseline(decoder_cast, fwd(imgs),
-                                      start_id, end_id, max_len=max_len)
+        return decode(fwd(imgs))
 
     caption.act_maxes = act_maxes
     return caption

@@ -207,6 +207,28 @@ def test_sharded_beam_captioner_matches_single_device():
     assert out["seq"].sharding.spec[0] == "data"
 
 
+def test_sharded_int8_captioner_matches_single_device():
+    """int8 backbone + int8 decoder over the mesh == single-device."""
+    from icd_tpu.decoding.serve import (make_int8_captioner,
+                                        make_sharded_captioner)
+
+    encoder, decoder, _, imgs, _ = _setup()
+    imgs_j = jnp.asarray(imgs)
+    single = make_int8_captioner(encoder, decoder, start_id=V - 3,
+                                 end_id=V - 2, max_len=6,
+                                 compute_dtype=jnp.float32,
+                                 calib_imgs=imgs_j, int8_decoder=True)
+    mesh = make_mesh(n_data=8, n_model=1)
+    sharded = make_sharded_captioner(
+        encoder, decoder, start_id=V - 3, end_id=V - 2, mesh=mesh,
+        max_len=6, compute_dtype=jnp.float32, int8=True,
+        act_maxes=single.act_maxes, int8_decoder=True)
+    a = np.asarray(single(imgs_j))
+    b = np.asarray(sharded(imgs_j))
+    np.testing.assert_array_equal(a, b)
+    assert sharded(imgs_j).sharding.spec[0] == "data"
+
+
 def test_shard_batch_layout():
     mesh = make_mesh(n_data=4, n_model=2)
     batch = {"imgs": np.zeros((8, 4, 4, 3), np.uint8),
