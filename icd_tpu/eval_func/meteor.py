@@ -3,10 +3,13 @@
 METEOR is alignment-based string processing, so it stays host-side as a
 long-lived Java subprocess exactly like the reference (reference:
 eval_func/meteor/meteor.py:18-58, 'SCORE'/'EVAL' line protocol guarded by
-a lock). The jar is a large external artifact; when it (or a Java
-runtime) is unavailable the scorer degrades to zeros with a one-time
-warning instead of crashing the whole evaluation — the reference snapshot
-itself ships without the jar (.MISSING_LARGE_BLOBS).
+a lock). The jar is a large external artifact missing from the reference
+snapshot itself (.MISSING_LARGE_BLOBS); when it (or a Java runtime) is
+unavailable, constructing the scorer RAISES — matching the reference,
+whose Java subprocess dies and whose eval crashes rather than writing a
+silently wrong ``METEOR: 0.0`` into eval_data JSONs. Set
+``ICD_TPU_ALLOW_NO_METEOR=1`` to opt into degrading to 0.0 scores with a
+warning instead (used by tests and jar-less smoke runs).
 
 Set METEOR_JAR to point at meteor-1.5.jar (default: this directory), or
 METEOR_CMD to a full command line speaking the same stdio protocol
@@ -51,10 +54,18 @@ class Meteor:
                 cmd, cwd=cwd,
                 stdin=subprocess.PIPE, stdout=subprocess.PIPE,
                 stderr=subprocess.PIPE)
-        else:
+        elif os.environ.get("ICD_TPU_ALLOW_NO_METEOR"):
             warnings.warn(
                 "METEOR jar or Java runtime unavailable; METEOR scores "
                 "will be 0.0. Set METEOR_JAR to enable.", stacklevel=2)
+        else:
+            raise RuntimeError(
+                "METEOR jar or Java runtime unavailable (looked for {}). "
+                "The reference fails loudly here too "
+                "(eval_func/meteor/meteor.py:18-24 launches the jar "
+                "unconditionally). Set METEOR_JAR to the meteor-1.5.jar "
+                "path, or set ICD_TPU_ALLOW_NO_METEOR=1 to accept 0.0 "
+                "METEOR scores.".format(_jar_path()))
 
     def compute_score(self, gts, res):
         if self.meteor_p is None:

@@ -3,6 +3,11 @@ imports anywhere, and provide tiny COCO fixtures on disk."""
 
 import os
 
+# No METEOR jar in this container; the scorer raises by default (matching
+# the reference's loud failure). Tests opt into the 0.0 degrade except
+# where they assert the raise itself.
+os.environ.setdefault("ICD_TPU_ALLOW_NO_METEOR", "1")
+
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:

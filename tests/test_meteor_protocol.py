@@ -3,6 +3,8 @@
 import os
 import sys
 
+import pytest
+
 
 def test_meteor_stdio_protocol(monkeypatch):
     stub = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -39,3 +41,28 @@ def test_meteor_strips_protocol_delimiters(monkeypatch):
     score, scores = scorer.compute_score(
         [["a b"]], [["a ||| b"]])
     assert scores == [0.02]  # 'a b' after stripping
+
+
+def test_meteor_raises_without_jar_by_default(monkeypatch):
+    """A jar-less environment must fail loudly unless explicitly allowed
+    (the reference crashes too, eval_func/meteor/meteor.py:18-24) — a
+    real eval must never silently write METEOR: 0.0."""
+    monkeypatch.delenv("ICD_TPU_ALLOW_NO_METEOR", raising=False)
+    monkeypatch.delenv("METEOR_CMD", raising=False)
+    monkeypatch.setenv("METEOR_JAR", "/nonexistent/meteor-1.5.jar")
+    from icd_tpu.eval_func.meteor import Meteor
+
+    with pytest.raises(RuntimeError, match="ICD_TPU_ALLOW_NO_METEOR"):
+        Meteor()
+
+
+def test_meteor_degrades_to_zero_when_allowed(monkeypatch):
+    monkeypatch.setenv("ICD_TPU_ALLOW_NO_METEOR", "1")
+    monkeypatch.delenv("METEOR_CMD", raising=False)
+    monkeypatch.setenv("METEOR_JAR", "/nonexistent/meteor-1.5.jar")
+    from icd_tpu.eval_func.meteor import Meteor
+
+    with pytest.warns(UserWarning, match="METEOR"):
+        scorer = Meteor()
+    score, scores = scorer.compute_score([["a b"]], [["a"]])
+    assert score == 0.0 and scores == [0.0]
