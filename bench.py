@@ -59,6 +59,12 @@ def main():
     ekey, dkey = jax.random.split(key)
     encoder = init_encoder(ekey, 512)
     decoder = init_baseline_decoder(dkey, p)
+    # Pin the <end> logit unreachable: the serving decode early-exits
+    # when every caption emits <end>, and random-init weights could
+    # (seed-dependently) do that early and silently inflate captions/s.
+    # Forcing the full DECODE_LEN steps keeps the bench honest.
+    decoder["linear"]["b"] = (
+        decoder["linear"]["b"].at[VOCAB - 2].set(-1e9))
 
     imgs = jnp.asarray(
         (jax.random.uniform(key, (BATCH, 224, 224, 3)) * 255).astype(

@@ -198,6 +198,12 @@ def _prepare_int8_encoder(encoder, loader, fwd, compute_dtype,
         imgs = jnp.asarray(batch["imgs"])
         if warmup:
             encoder = warm(encoder, imgs)
+    if imgs is None:
+        raise RuntimeError(
+            "--int8_encoder needs at least one training batch to "
+            "calibrate activation ranges, but the data loader yielded "
+            "none (empty dataset or over-aggressive --max_caption_length "
+            "filter).")
     qresnet = quantize_resnet(
         encoder["resnet"],
         calibrate_act_maxes(encoder["resnet"], imgs,

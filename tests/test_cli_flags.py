@@ -76,3 +76,18 @@ def test_train_defaults_match_reference():
     # truthy-string bool quirk preserved (type=bool)
     assert by_dest["use_glove"].type is bool
     assert by_dest["fine_tune_encoder"].type is bool
+
+
+def test_extension_flags_parse_real_booleans():
+    """TPU-extension flags (--amp/--int8_encoder) are NOT reference flags,
+    so they get real boolean parsing: '--int8_encoder False' must disable,
+    not silently enable via the truthy-string quirk."""
+    import pytest
+
+    parser = _load_our_train().build_parser()
+    ns = parser.parse_args(["m", "--amp", "False", "--int8_encoder", "0"])
+    assert ns.amp is False and ns.int8_encoder is False
+    ns = parser.parse_args(["m", "--amp", "True", "--int8_encoder", "1"])
+    assert ns.amp is True and ns.int8_encoder is True
+    with pytest.raises(SystemExit):
+        parser.parse_args(["m", "--amp", "maybe"])

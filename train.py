@@ -13,6 +13,19 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from icd_tpu.pathconf import PathConfig
 
 
+def _strict_bool(value):
+    """Real boolean parsing for the TPU-extension flags (the reference's
+    truthy-string ``type=bool`` quirk is preserved only on reference
+    flags, where parity depends on it; '--amp False' must mean False)."""
+    lowered = value.strip().lower()
+    if lowered in ("true", "1", "yes", "on"):
+        return True
+    if lowered in ("false", "0", "no", "off", ""):
+        return False
+    raise argparse.ArgumentTypeError(
+        "expected a boolean, got {!r}".format(value))
+
+
 def build_parser():
     parser = argparse.ArgumentParser(description="Train")
     parser.add_argument("model_name", type=str,
@@ -65,12 +78,12 @@ def build_parser():
                         help="whether to use BERT embeddigns for attention "
                              "model.")
     # TPU extension (not in the reference CLI): bf16 mixed precision.
-    parser.add_argument("--amp", type=bool, default=False,
+    parser.add_argument("--amp", type=_strict_bool, default=False,
                         help="bf16 mixed-precision training (f32 master "
                              "weights, loss, optimizer and BN statistics); "
                              "TPU extension, default off for reference-"
                              "parity f32 numerics.")
-    parser.add_argument("--int8_encoder", type=bool, default=False,
+    parser.add_argument("--int8_encoder", type=_strict_bool, default=False,
                         help="run the FROZEN encoder backbone as the "
                              "static-calibration int8 trunk during "
                              "training (calibrated on one batch). TPU "
