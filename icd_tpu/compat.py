@@ -1,0 +1,222 @@
+"""Import shims for unpickling reference whole-module checkpoints.
+
+The reference saves *entire pickled nn.Module/optimizer objects*
+(reference: checkpoint.py:51-60), so loading a real ``.pth.tar`` needs
+every class referenced by the pickle to be importable:
+
+ - ``models.encoder`` / ``models.baseline`` / ``models.attention`` /
+   ``vocabulary`` — provided by putting ``/root/reference`` on sys.path,
+ - ``torchvision.models.resnet.{ResNet,Bottleneck}`` — torchvision is
+   not installed here; :func:`install_reference_shims` registers a
+   functional torch implementation under those exact names,
+ - ``pytorch_pretrained_bert`` (bert_attention checkpoints) and
+   ``bcolz`` (imported at the top of reference embed.py) — skeletal
+   shims: unpickling an ``nn.Module`` restores ``__dict__`` without
+   running ``__init__``, so a bare class with the right qualified name
+   is sufficient to recover ``state_dict()``.
+
+Unpickling never executes the shimmed constructors; only the class
+*names* must resolve. The torchvision ResNet here is nevertheless a
+real, forward-capable torch model (standard Bottleneck ResNet, written
+against the architecture definition — matching torchvision's module
+registration order conv1,bn1,relu,maxpool,layer1-4,avgpool,fc so that
+``list(resnet.children())`` slicing in the reference encoder
+(models/encoder.py:38-39, 90-91) behaves identically), because tests
+use it to *construct* reference-format checkpoints to round-trip.
+
+Shims only install when the real package is absent.
+"""
+
+import importlib
+import sys
+import types
+
+REFERENCE_ROOT = "/root/reference"
+
+
+def _module_missing(name):
+    if name in sys.modules:
+        return False
+    try:
+        importlib.import_module(name)
+        return False
+    except ImportError:
+        return True
+
+
+def _build_torchvision_stub():
+    import torch
+    from torch import nn
+
+    class Bottleneck(nn.Module):
+        expansion = 4
+
+        def __init__(self, inplanes, planes, stride=1, downsample=None):
+            super().__init__()
+            self.conv1 = nn.Conv2d(inplanes, planes, 1, bias=False)
+            self.bn1 = nn.BatchNorm2d(planes)
+            self.conv2 = nn.Conv2d(planes, planes, 3, stride=stride,
+                                   padding=1, bias=False)
+            self.bn2 = nn.BatchNorm2d(planes)
+            self.conv3 = nn.Conv2d(planes, planes * self.expansion, 1,
+                                   bias=False)
+            self.bn3 = nn.BatchNorm2d(planes * self.expansion)
+            self.relu = nn.ReLU(inplace=True)
+            self.downsample = downsample
+            self.stride = stride
+
+        def forward(self, x):
+            identity = x
+            out = self.relu(self.bn1(self.conv1(x)))
+            out = self.relu(self.bn2(self.conv2(out)))
+            out = self.bn3(self.conv3(out))
+            if self.downsample is not None:
+                identity = self.downsample(x)
+            return self.relu(out + identity)
+
+    class ResNet(nn.Module):
+        def __init__(self, block, layers, num_classes=1000):
+            super().__init__()
+            self.inplanes = 64
+            self.conv1 = nn.Conv2d(3, 64, 7, stride=2, padding=3,
+                                   bias=False)
+            self.bn1 = nn.BatchNorm2d(64)
+            self.relu = nn.ReLU(inplace=True)
+            self.maxpool = nn.MaxPool2d(3, stride=2, padding=1)
+            self.layer1 = self._make_layer(block, 64, layers[0])
+            self.layer2 = self._make_layer(block, 128, layers[1], stride=2)
+            self.layer3 = self._make_layer(block, 256, layers[2], stride=2)
+            self.layer4 = self._make_layer(block, 512, layers[3], stride=2)
+            self.avgpool = nn.AdaptiveAvgPool2d((1, 1))
+            self.fc = nn.Linear(512 * block.expansion, num_classes)
+
+        def _make_layer(self, block, planes, depth, stride=1):
+            downsample = None
+            if stride != 1 or self.inplanes != planes * block.expansion:
+                downsample = nn.Sequential(
+                    nn.Conv2d(self.inplanes, planes * block.expansion, 1,
+                              stride=stride, bias=False),
+                    nn.BatchNorm2d(planes * block.expansion))
+            blocks = [block(self.inplanes, planes, stride, downsample)]
+            self.inplanes = planes * block.expansion
+            for _ in range(1, depth):
+                blocks.append(block(self.inplanes, planes))
+            return nn.Sequential(*blocks)
+
+        def forward(self, x):
+            x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+            x = self.layer4(self.layer3(self.layer2(self.layer1(x))))
+            x = torch.flatten(self.avgpool(x), 1)
+            return self.fc(x)
+
+    def resnet101(pretrained=False, **kwargs):
+        if pretrained:
+            raise RuntimeError(
+                "torchvision shim cannot download pretrained weights "
+                "(zero-egress environment). Convert a local "
+                "models/resnet101.pth via icd_tpu.convert."
+                "load_resnet101_pth instead.")
+        return ResNet(Bottleneck, [3, 4, 23, 3], **kwargs)
+
+    resnet_mod = types.ModuleType("torchvision.models.resnet")
+    for obj in (Bottleneck, ResNet):
+        obj.__module__ = "torchvision.models.resnet"
+        obj.__qualname__ = obj.__name__
+    resnet_mod.Bottleneck = Bottleneck
+    resnet_mod.ResNet = ResNet
+    resnet_mod.resnet101 = resnet101
+
+    models_mod = types.ModuleType("torchvision.models")
+    models_mod.resnet = resnet_mod
+    models_mod.ResNet = ResNet
+    models_mod.resnet101 = resnet101
+
+    transforms_mod = types.ModuleType("torchvision.transforms")
+    for name in ("Compose", "Resize", "ToTensor", "Normalize"):
+        cls = type(name, (), {"__module__": "torchvision.transforms"})
+        setattr(transforms_mod, name, cls)
+
+    tv = types.ModuleType("torchvision")
+    tv.__is_icd_tpu_shim__ = True
+    tv.models = models_mod
+    tv.transforms = transforms_mod
+    return {"torchvision": tv,
+            "torchvision.models": models_mod,
+            "torchvision.models.resnet": resnet_mod,
+            "torchvision.transforms": transforms_mod}
+
+
+def _build_bert_stub():
+    from torch import nn
+
+    class BertModel(nn.Module):
+        """Skeleton for unpickling (state restored via __dict__)."""
+
+        @classmethod
+        def from_pretrained(cls, *a, **k):
+            raise RuntimeError(
+                "pytorch_pretrained_bert shim cannot download weights; "
+                "use icd_tpu.models.bert_embed (transformers) instead.")
+
+    class BertTokenizer:
+        @classmethod
+        def from_pretrained(cls, *a, **k):
+            raise RuntimeError(
+                "pytorch_pretrained_bert shim cannot download vocabs; "
+                "use icd_tpu.models.bert_embed (transformers) instead.")
+
+    modeling = types.ModuleType("pytorch_pretrained_bert.modeling")
+    tokenization = types.ModuleType("pytorch_pretrained_bert.tokenization")
+    BertModel.__module__ = "pytorch_pretrained_bert.modeling"
+    BertModel.__qualname__ = "BertModel"
+    BertTokenizer.__module__ = "pytorch_pretrained_bert.tokenization"
+    BertTokenizer.__qualname__ = "BertTokenizer"
+    modeling.BertModel = BertModel
+    tokenization.BertTokenizer = BertTokenizer
+
+    pkg = types.ModuleType("pytorch_pretrained_bert")
+    pkg.__is_icd_tpu_shim__ = True
+    pkg.modeling = modeling
+    pkg.tokenization = tokenization
+    pkg.BertModel = BertModel
+    pkg.BertTokenizer = BertTokenizer
+    return {"pytorch_pretrained_bert": pkg,
+            "pytorch_pretrained_bert.modeling": modeling,
+            "pytorch_pretrained_bert.tokenization": tokenization}
+
+
+class _RaisingModule(types.ModuleType):
+    def __getattr__(self, name):
+        if name.startswith("__") and name.endswith("__"):
+            # Introspection machinery (inspect, pickle, import system)
+            # probes dunders; answer honestly instead of exploding.
+            raise AttributeError(name)
+        raise RuntimeError(
+            "{}.{} is a shim for unpickling reference checkpoints only; "
+            "the real package is not installed.".format(
+                self.__name__, name))
+
+
+def install_reference_shims(reference_root=REFERENCE_ROOT):
+    """Make reference whole-module pickles loadable: reference repo on
+    sys.path, our pycocotools shim importable, and stand-in modules for
+    the reference's uninstalled dependencies."""
+    import os
+
+    if reference_root not in sys.path and os.path.isdir(reference_root):
+        sys.path.insert(0, reference_root)
+    # pycocotools for reference dataset.py/vocabulary.py imports
+    # (the reference appends the cwd-relative 'cocoapi/PythonAPI/').
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    shim_dir = os.path.join(repo_root, "cocoapi", "PythonAPI")
+    if _module_missing("pycocotools") and shim_dir not in sys.path:
+        sys.path.append(shim_dir)
+
+    if _module_missing("torchvision"):
+        sys.modules.update(_build_torchvision_stub())
+    if _module_missing("pytorch_pretrained_bert"):
+        sys.modules.update(_build_bert_stub())
+    if _module_missing("bcolz"):
+        bcolz = _RaisingModule("bcolz")
+        bcolz.__is_icd_tpu_shim__ = True
+        sys.modules["bcolz"] = bcolz

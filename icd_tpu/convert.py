@@ -114,15 +114,20 @@ def convert_attention_decoder_state_dict(sd):
 
 def convert_reference_checkpoint(path, reference_root="/root/reference",
                                  model_type=None):
-    """Load a reference .pth.tar (whole pickled modules) and convert to
-    our checkpoint dict. Requires torch and the reference repo (for the
-    pickled classes)."""
-    import sys
+    """Load a reference .pth.tar (whole pickled modules,
+    checkpoint.py:51-60) and convert to our checkpoint dict.
 
+    Requires torch and the reference repo for the pickled classes;
+    install_reference_shims supplies stand-ins for the reference's
+    uninstalled dependencies (torchvision / pytorch_pretrained_bert /
+    bcolz) — unpickling restores module state without running their
+    constructors, so skeleton classes with the right qualified names
+    are sufficient."""
     import torch
 
-    if reference_root not in sys.path:
-        sys.path.insert(0, reference_root)
+    from .compat import install_reference_shims
+
+    install_reference_shims(reference_root)
     chkpt = torch.load(path, map_location="cpu", weights_only=False)
 
     encoder_sd = chkpt["encoder"].state_dict()
