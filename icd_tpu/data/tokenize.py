@@ -5,12 +5,22 @@ The reference tokenizes captions with ``nltk.tokenize.word_tokenize``
 sentence splitting followed by the Penn Treebank word tokenizer per
 sentence. In hermetic environments the punkt model is not downloadable, so
 this module ships a faithful pure-Python implementation of the Treebank
-tokenizer (the standard public rule set) plus a light sentence splitter,
-and transparently uses NLTK when its data is present.
+tokenizer (the standard public rule set, differentially tested against
+``nltk.tokenize.treebank.TreebankWordTokenizer`` on a generated caption
+corpus — tests/test_tokenize.py) plus a light sentence splitter.
+
+The built-in path is ALWAYS used by default so that vocabulary
+construction is environment-invariant (the same corpus yields the same
+vocab ids on every machine, punkt data installed or not). Set
+``ICD_TPU_USE_NLTK=1`` to delegate to ``nltk.tokenize.word_tokenize``
+instead (requires punkt data; exact-NLTK sentence splitting differs from
+ours only on abbreviation-style boundaries — e.g. "no. 5" — which COCO's
+single-sentence captions essentially never hit).
 
 ``word_tokenize(text)`` is the single public entry point.
 """
 
+import os
 import re
 from functools import lru_cache
 
@@ -98,26 +108,24 @@ def _split_sentences(text: str) -> list:
 
 @lru_cache(maxsize=1)
 def _nltk_word_tokenize():
-    """Return nltk.word_tokenize if its punkt data is installed, else None."""
-    try:
-        import nltk
+    """nltk.word_tokenize, required to work (ICD_TPU_USE_NLTK opt-in)."""
+    import nltk
 
-        nltk.tokenize.word_tokenize("probe sentence.")
-        return nltk.tokenize.word_tokenize
-    except Exception:
-        return None
+    nltk.tokenize.word_tokenize("probe sentence.")  # raises without punkt
+    return nltk.tokenize.word_tokenize
 
 
 def word_tokenize(text: str) -> list:
     """Drop-in equivalent of ``nltk.tokenize.word_tokenize``.
 
-    Uses NLTK itself when its punkt data is available; otherwise sentence
-    splits with a simple boundary rule and applies the Treebank tokenizer
-    to each sentence.
+    Always uses the built-in implementation (environment-invariant
+    vocabularies) unless ``ICD_TPU_USE_NLTK=1`` explicitly delegates to
+    NLTK — which then must have its punkt data installed; a silent
+    fallback here would let two machines build different vocab id maps
+    for the same corpus.
     """
-    nltk_fn = _nltk_word_tokenize()
-    if nltk_fn is not None:
-        return nltk_fn(text)
+    if os.environ.get("ICD_TPU_USE_NLTK"):
+        return _nltk_word_tokenize()(text)
     tokens = []
     for sentence in _split_sentences(text):
         tokens.extend(treebank_word_tokenize(sentence))

@@ -57,3 +57,117 @@ def test_possessive():
 def test_slash_and_amp():
     assert word_tokenize("fish & chips on a plate.") == [
         "fish", "&", "chips", "on", "a", "plate", "."]
+
+
+# ---------------------------------------------------------------------------
+# Corpus-scale differential vs NLTK's TreebankWordTokenizer (importable
+# without punkt data), per VERDICT r1 item 4: thousands of generated
+# caption-like sentences covering punctuation, contractions, possessives,
+# quotes, numbers, and brackets must tokenize identically.
+# ---------------------------------------------------------------------------
+
+import random
+
+
+_NOUNS = ["man", "woman", "dog", "cat", "horse", "plate", "table", "beach",
+          "field", "kitchen", "pizza", "surfboard", "umbrella", "giraffe",
+          "child", "group", "bus", "train", "sign", "tree"]
+_VERBS = ["riding", "holding", "sitting on", "standing near", "eating",
+          "looking at", "jumping over", "walking past", "playing with"]
+_ADJS = ["large", "small", "brown", "black-and-white", "red", "wooden",
+         "shiny", "old", "young", "colorful"]
+_TAILS = [".", "...", "!", "?", "", " .", ".."]
+_CONTRACTIONS = ["it's", "isn't", "doesn't", "can't", "won't", "he'll",
+                 "they're", "we've", "i'm", "she'd", "cannot", "gonna",
+                 "d'ye", "'twas", "y'all"]
+
+
+def _gen_caption(rng):
+    parts = []
+    if rng.random() < 0.3:
+        parts.append(rng.choice(_ADJS) + ",")
+    parts.append("a" if rng.random() < 0.7 else "the")
+    if rng.random() < 0.5:
+        parts.append(rng.choice(_ADJS))
+    noun = rng.choice(_NOUNS)
+    if rng.random() < 0.2:
+        noun += "'s"
+    parts.append(noun)
+    parts.append(rng.choice(_VERBS))
+    if rng.random() < 0.3:
+        parts.append(rng.choice(_CONTRACTIONS))
+    obj = "a " + rng.choice(_ADJS) + " " + rng.choice(_NOUNS)
+    if rng.random() < 0.15:
+        obj = '"' + obj + '"'
+    elif rng.random() < 0.15:
+        obj = "(" + obj + ")"
+    parts.append(obj)
+    if rng.random() < 0.2:
+        parts.append("with " + str(rng.randint(2, 15)) + " "
+                     + rng.choice(_NOUNS) + "s")
+    if rng.random() < 0.15:
+        parts.append("; " + rng.choice(_ADJS) + " & " + rng.choice(_ADJS))
+    if rng.random() < 0.1:
+        parts.append("-- " + rng.choice(_ADJS))
+    if rng.random() < 0.1:
+        parts.append("at 3:30")
+    return " ".join(parts) + rng.choice(_TAILS)
+
+
+def test_corpus_differential_vs_nltk_treebank():
+    from nltk.tokenize.treebank import TreebankWordTokenizer
+
+    nltk_tok = TreebankWordTokenizer()
+    rng = random.Random(1234)
+    mismatches = []
+    for i in range(4000):
+        sent = _gen_caption(rng)
+        # The reference lowercases before tokenizing (vocabulary.py:45,
+        # dataset.py:45); test both cased and lowercased forms.
+        for text in (sent, sent.lower()):
+            ours = treebank_word_tokenize(text)
+            theirs = nltk_tok.tokenize(text)
+            if ours != theirs:
+                mismatches.append((text, ours, theirs))
+    assert not mismatches, mismatches[:5]
+
+
+def test_word_tokenize_env_invariant(monkeypatch):
+    """The default path must not consult NLTK at all: identical output
+    with and without the opt-in env var machinery importable."""
+    monkeypatch.delenv("ICD_TPU_USE_NLTK", raising=False)
+    rng = random.Random(7)
+    sents = [_gen_caption(rng) for _ in range(50)]
+    expected = [word_tokenize(s) for s in sents]
+    # Built-in path is pure: repeated calls agree and never touch nltk.
+    import icd_tpu.data.tokenize as tok
+
+    monkeypatch.setattr(
+        tok, "_nltk_word_tokenize",
+        lambda: (_ for _ in ()).throw(AssertionError("nltk consulted")))
+    assert [word_tokenize(s) for s in sents] == expected
+
+
+def test_word_tokenize_nltk_opt_in_requires_punkt(monkeypatch):
+    """ICD_TPU_USE_NLTK=1 must delegate (and raise without punkt data
+    rather than silently falling back to a different tokenization)."""
+    import icd_tpu.data.tokenize as tok
+
+    monkeypatch.setenv("ICD_TPU_USE_NLTK", "1")
+    tok._nltk_word_tokenize.cache_clear()
+    try:
+        import nltk
+
+        nltk.tokenize.word_tokenize("probe.")
+        have_punkt = True
+    except LookupError:
+        have_punkt = False
+    if have_punkt:
+        assert word_tokenize("a man riding a horse.") == [
+            "a", "man", "riding", "a", "horse", "."]
+    else:
+        import pytest
+
+        with pytest.raises(LookupError):
+            word_tokenize("a man riding a horse.")
+    tok._nltk_word_tokenize.cache_clear()
