@@ -11,16 +11,24 @@ TPU-native design notes:
  - the encoder-side attention projection enc_att(encoder_out) is
    invariant across timesteps, so it is computed once before the scan
    instead of inside every step as the reference does (attention.py:55)
- - all per-step ops are fused by XLA into a single scan body: two gate
-   matmuls (MXU), attention score matmul, softmax over the 196-pixel
-   grid, gated context, and the vocab projection.
+ - the teacher-forced forward keeps only the truly sequential work in
+   the scan body. Everything step-invariant is batched outside it:
+   the embedding half of the LSTM input matmul (``emb @ wi[:E]``) is
+   one (B, T, E) x (E, 4H) matmul before the scan, and the dropout +
+   vocab projection run once on the stacked hidden states after it —
+   a (B*T, H) x (H, V) matmul with full MXU row utilization instead
+   of T thin (B, H) x (H, V) ones, which also removes the fc weight
+   (the largest decoder matrix) from the per-step HBM traffic.
+   Inside the body, the three matmuls consuming ``h`` (attention
+   query, f_beta gate, LSTM recurrent half) are packed into a single
+   (B, H) x (H, A+D_enc+4H) matmul.
 """
 
 import jax
 import jax.numpy as jnp
 
 from .encoder import _torch_linear_init as _linear
-from .lstm import init_lstm, lstm_cell
+from .lstm import gates_to_state, init_lstm, lstm_cell
 
 
 class AttentionDecoderParams:
@@ -164,30 +172,66 @@ def attention_decoder_forward(decoder_params, encoder_out, captions,
 
     h, c = init_hidden_state(decoder_params, encoder_out)
 
-    emb_tm = jnp.swapaxes(embeddings[:, :max_decode], 0, 1)  # (T-1, B, E)
-    if rng is not None:
-        step_rngs = jax.random.split(rng, max_decode)
-    else:
-        step_rngs = jnp.zeros((max_decode, 2), jnp.uint32)
+    lstm = decoder_params["lstm"]
+    e = embeddings.shape[-1]
+    # Step-invariant half of the LSTM input matmul, batched over time
+    # (biases folded in here so the scan body adds none).
+    emb_x = (embeddings[:, :max_decode] @ lstm["wi"][:e]
+             + (lstm["bi"] + lstm["bh"]))
+    emb_x_tm = jnp.swapaxes(emb_x, 0, 1)  # (T-1, B, 4H)
+    w_x_enc = lstm["wi"][e:]  # (D_enc, 4H), the context half
 
+    # Pack the three h-consuming matmuls into one.
+    a_dim = att["dec_att"]["w"].shape[1]
+    enc_dim = decoder_params["f_beta"]["w"].shape[1]
+    w_h_packed = jnp.concatenate(
+        [att["dec_att"]["w"], decoder_params["f_beta"]["w"], lstm["wh"]],
+        axis=1)
+    b_h_packed = jnp.concatenate(
+        [att["dec_att"]["b"], decoder_params["f_beta"]["b"],
+         jnp.zeros_like(lstm["bh"])])
+
+    w_full = att["full_att"]["w"][:, 0]
+    b_full = att["full_att"]["b"][0]
     t_steps = jnp.arange(max_decode)
 
     def body(carry, xs):
         h, c = carry
-        emb_t, step_rng, t = xs
-        drop = step_rng if rng is not None else None
-        new_h, new_c, preds, alpha = decode_step(
-            decoder_params, encoder_out, att_enc, emb_t, h, c,
-            dropout_rng=drop, dropout_rate=dropout_rate)
+        emb_x_t, t = xs
+        hp = h @ w_h_packed + b_h_packed
+        att_dec = hp[:, :a_dim]
+        gate_pre = hp[:, a_dim:a_dim + enc_dim]
+        h_gates = hp[:, a_dim + enc_dim:]
+
+        act = jax.nn.relu(att_enc + att_dec[:, None, :])
+        # Multiply-reduce (see soft_attention) — fuses into one pass.
+        scores = (jnp.sum(act * w_full, axis=-1, dtype=jnp.float32)
+                  + b_full).astype(act.dtype)
+        alpha = jax.nn.softmax(scores, axis=-1)
+        weighted = jnp.sum(encoder_out * alpha[..., None], axis=-2)
+        weighted = jax.nn.sigmoid(gate_pre) * weighted
+
+        gates = emb_x_t + weighted @ w_x_enc + h_gates
+        new_h, new_c = gates_to_state(gates, c)
         active = (t < decode_lengths)[:, None]
         # Masked rows keep their previous state (the reference never
         # advances h/c for retired rows, attention.py:262-265).
         h = jnp.where(active, new_h, h)
         c = jnp.where(active, new_c, c)
-        preds = jnp.where(active, preds, 0.0)
         alpha = jnp.where(active, alpha, 0.0)
-        return (h, c), (preds, alpha)
+        return (h, c), (h, alpha)
 
-    (_, _), (preds, alphas) = jax.lax.scan(
-        body, (h, c), (emb_tm, step_rngs, t_steps))
-    return jnp.swapaxes(preds, 0, 1), jnp.swapaxes(alphas, 0, 1)
+    (_, _), (hs, alphas) = jax.lax.scan(
+        body, (h, c), (emb_x_tm, t_steps))
+
+    # Dropout + vocab projection on the stacked states, one big matmul.
+    out = jnp.swapaxes(hs, 0, 1)  # (B, T-1, H)
+    if rng is not None and dropout_rate > 0.0:
+        keep = jax.random.bernoulli(rng, 1.0 - dropout_rate, out.shape)
+        out = jnp.where(keep, out / (1.0 - dropout_rate), 0.0)
+    preds = out @ decoder_params["fc"]["w"] + decoder_params["fc"]["b"]
+    # Masked timesteps read zero, exactly like the reference's
+    # preallocated tensors (attention.py:252-257).
+    active = t_steps[None, :, None] < decode_lengths[:, None, None]
+    preds = jnp.where(active, preds, 0.0)
+    return preds, jnp.swapaxes(alphas, 0, 1)
