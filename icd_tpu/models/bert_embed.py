@@ -102,13 +102,18 @@ class BertCaptionEmbedder:
         if missing:
             texts = ["[CLS] " + " ".join(self.vocab.i2w[t] for t in k)
                      for k in missing]
+            fresh = {}
             for k, text, (pieces, embs) in zip(
                     missing, texts, self._embed_texts(texts)):
                 words = text.split()
                 aligned = align_pieces_to_words(words, pieces, embs)
-                if len(self._cache) >= self._cache_size:
-                    self._cache.clear()
-                self._cache[k] = aligned.astype(np.float32)
+                fresh[k] = aligned.astype(np.float32)
+            # Evict BEFORE merging so the current batch's entries are
+            # never dropped mid-call (clearing inside the fill loop
+            # loses keys the final stack still needs).
+            if len(self._cache) + len(fresh) > self._cache_size:
+                self._cache.clear()
+            self._cache.update(fresh)
         return np.stack([self._cache[k] for k in keys])
 
 

@@ -222,8 +222,24 @@ def train(args, mesh=None):
             start = time.time()
 
             n_data = mesh.shape.get("data", 1)
+            batch_iter = iter(loader)
+            if bert_embedder is not None:
+                # The host BERT forward was the reference's hot loop
+                # (attention.py:166-215, per-caption inside the train
+                # step). Attaching it to the batch stream BEFORE
+                # device_prefetch runs it on the prefetch producer
+                # thread, overlapping host BERT compute with the
+                # device step; the embeddings then ride the same
+                # sharded host->HBM transfer as the rest of the batch.
+                def _with_bert(it):
+                    for b in it:
+                        b["embeddings"] = bert_embedder(
+                            np.asarray(b["captions"]))
+                        yield b
+
+                batch_iter = _with_bert(batch_iter)
             batches = device_prefetch(
-                iter(loader), size=2,
+                batch_iter, size=2,
                 sharding=lambda x: (
                     batch_sharding(mesh, x.ndim)
                     if x.shape[0] % n_data == 0 else replicated(mesh)))
@@ -233,14 +249,10 @@ def train(args, mesh=None):
                 # uniform decode window covering pads
                 # (attention.py:311-313).
                 decode_lengths = batch["padded_lengths"] - 1
-                embeddings = None
-                if bert_embedder is not None:
-                    embeddings = jnp.asarray(bert_embedder(
-                        np.asarray(batch["captions"])))
                 trainable, frozen, opt_state, loss = step_fn(
                     trainable, frozen, opt_state, rng_t,
                     batch["imgs"], batch["captions"], decode_lengths,
-                    embeddings)
+                    batch.get("embeddings"))
 
                 loss_val = float(loss)
                 batch_losses.append(loss_val)

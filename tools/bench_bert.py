@@ -1,0 +1,171 @@
+"""--use_bert training-loop throughput: inline vs overlapped host BERT.
+
+The reference computes BERT embeddings inside the train step, per
+caption, on the host (reference: models/attention.py:166-215) — its hot
+loop. Ours batches the BERT forward and (round 2) runs it on the
+device_prefetch producer thread so host BERT compute overlaps the
+device step (icd_tpu/training/attention.py train loop).
+
+This bench isolates that overlap: a full-size random-weight
+bert-base-uncased-shaped BertModel (compute-representative; weights
+don't matter for throughput) embeds fresh batches of captions while the
+jitted attention train step runs on the TPU, loss fetched every step
+exactly like the train loop. Prints host-BERT-only, device-step-only,
+inline-loop, and overlapped-loop times.
+
+Run: python tools/bench_bert.py [--steps N]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+BATCH = 32
+CAP_LEN = 16
+N_WORDS = 2000
+STEPS = 12
+
+
+def _make_vocab_and_bert():
+    import torch
+    from transformers import BertConfig, BertModel, BertTokenizer
+
+    from icd_tpu.vocabulary import (
+        END_TOKEN, PAD_TOKEN, START_TOKEN, UNK_TOKEN, Vocabulary)
+
+    vocab = Vocabulary()
+    vocab.add_word(PAD_TOKEN)
+    words = ["w{}".format(i) for i in range(N_WORDS)]
+    for w in words:
+        vocab.add_word(w)
+    vocab.add_word(START_TOKEN)
+    vocab.add_word(END_TOKEN)
+    vocab.add_word(UNK_TOKEN)
+
+    # Wordpiece vocab that splits each 'w123' into pieces -> exercises
+    # the alignment path like real wordpieces do.
+    pieces = (["[PAD]", "[UNK]", "[CLS]", "[SEP]", "w", "<", ">",
+               "start", "end", "pad", "unk"]
+              + ["##{}".format(d) for d in "0123456789"])
+    import tempfile
+
+    vp = os.path.join(tempfile.mkdtemp(), "vocab.txt")
+    with open(vp, "w") as f:
+        f.write("\n".join(pieces))
+    tokenizer = BertTokenizer(vp, do_lower_case=True)
+    torch.manual_seed(0)
+    # bert-base-uncased geometry, random weights: same host FLOPs.
+    config = BertConfig(vocab_size=len(pieces))
+    model = BertModel(config).eval()
+    return vocab, model, tokenizer
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    import icd_tpu.training.attention as ta
+    from icd_tpu.data.pipeline import device_prefetch
+    from icd_tpu.models.attention import (
+        AttentionDecoderParams, init_attention_decoder)
+    from icd_tpu.models.bert_embed import BertCaptionEmbedder
+    from icd_tpu.models.encoder import (
+        init_encoder_attention, trainable_mask)
+    from icd_tpu.training.common import partition
+
+    steps = STEPS
+    if "--steps" in sys.argv:
+        steps = int(sys.argv[sys.argv.index("--steps") + 1])
+
+    vocab, bert, tokenizer = _make_vocab_and_bert()
+    embedder = BertCaptionEmbedder(vocab, model=bert, tokenizer=tokenizer,
+                                   cache_size=1)  # defeat memoization
+
+    ap = AttentionDecoderParams()
+    ap.embed_size = 768
+    ap.vocab = vocab
+    encoder = init_encoder_attention(jax.random.PRNGKey(0))
+    decoder = init_attention_decoder(jax.random.PRNGKey(1), ap)
+    mask = {
+        "encoder": trainable_mask(encoder, fine_tune=False, head=False),
+        "decoder": jax.tree_util.tree_map(lambda _: True, decoder),
+    }
+    mask["decoder"]["embedding"] = False
+    trainable, frozen = partition(
+        {"encoder": encoder, "decoder": decoder}, mask)
+    tx = optax.adam(1e-4)
+    opt_state = tx.init(trainable)
+    att_step = jax.jit(ta.make_train_step(
+        mask, tx, alpha_c=1.0, dropout_rate=0.5))
+
+    rng = np.random.default_rng(0)
+    host_batches = []
+    for i in range(steps):
+        imgs = rng.integers(0, 255, (BATCH, 224, 224, 3), np.uint8)
+        caps = np.concatenate(
+            [np.full((BATCH, 1), len(vocab) - 3),
+             rng.integers(1, N_WORDS, (BATCH, CAP_LEN - 2)),
+             np.full((BATCH, 1), len(vocab) - 2)], axis=1).astype(np.int32)
+        host_batches.append({"imgs": imgs, "captions": caps})
+    decode_lengths = jnp.full((BATCH,), CAP_LEN - 1, jnp.int32)
+    key = jax.random.PRNGKey(7)
+
+    def run_step(state, b, emb):
+        t, f, o = state
+        t, f, o, loss = att_step(
+            t, f, o, key, jnp.asarray(b["imgs"]),
+            jnp.asarray(b["captions"]), decode_lengths,
+            jnp.asarray(emb))
+        return (t, f, o), float(loss)  # per-step fetch, like the loop
+
+    # Warmup / compile.
+    emb0 = embedder(host_batches[0]["captions"])
+    state = (trainable, frozen, opt_state)
+    state, _ = run_step(state, host_batches[0], emb0)
+
+    # Host BERT alone.
+    t0 = time.perf_counter()
+    for b in host_batches:
+        embedder(b["captions"])
+    bert_t = (time.perf_counter() - t0) / steps
+
+    # Device step alone (reusing one embedding).
+    t0 = time.perf_counter()
+    for b in host_batches:
+        state, _ = run_step(state, b, emb0)
+    step_t = (time.perf_counter() - t0) / steps
+
+    # Inline (reference-style critical path).
+    t0 = time.perf_counter()
+    for b in host_batches:
+        state, _ = run_step(state, b, embedder(b["captions"]))
+    inline_t = (time.perf_counter() - t0) / steps
+
+    # Overlapped (the train loop's shape: embedder on the prefetch
+    # producer thread).
+    def with_bert(it):
+        for b in it:
+            b = dict(b)
+            b["embeddings"] = embedder(b["captions"])
+            yield b
+
+    t0 = time.perf_counter()
+    for b in device_prefetch(with_bert(iter(host_batches)), size=2):
+        state, _ = run_step(state, b, b["embeddings"])
+    overlap_t = (time.perf_counter() - t0) / steps
+
+    print("host BERT alone:  %.1f ms/batch" % (bert_t * 1e3))
+    print("device step alone:%.1f ms/step (incl. tunnel roundtrip)"
+          % (step_t * 1e3))
+    print("inline loop:      %.1f ms/step" % (inline_t * 1e3))
+    print("overlapped loop:  %.1f ms/step (%.0f%% of inline)"
+          % (overlap_t * 1e3, 100.0 * overlap_t / inline_t))
+
+
+if __name__ == "__main__":
+    main()
