@@ -63,7 +63,8 @@ class BertCaptionEmbedder:
     embeddings (row 0 is [CLS], row t is word t-1; see module docstring).
     """
 
-    def __init__(self, vocab, model=None, tokenizer=None, cache_size=50000):
+    def __init__(self, vocab, model=None, tokenizer=None, cache_size=50000,
+                 device=False):
         self.vocab = vocab
         self._cache = {}
         self._cache_size = cache_size
@@ -72,12 +73,19 @@ class BertCaptionEmbedder:
         self.model = model
         self.tokenizer = tokenizer
         self.model.eval()
+        self.jax_bert = None
+        if device:
+            # TPU-resident forward: the torch model is only the weight
+            # source (models/bert_jax.py). The host keeps tokenization
+            # and piece->word alignment (string logic, like the
+            # reference attention.py:166-215).
+            from .bert_jax import JaxBert
+
+            self.jax_bert = JaxBert(model)
 
     def _embed_texts(self, texts):
         """Run BERT over a batch of '[CLS] ...' texts; returns per-text
         (pieces, piece_embeddings)."""
-        import torch
-
         piece_lists = [self.tokenizer.tokenize(t) for t in texts]
         max_len = max(len(p) for p in piece_lists)
         ids = np.zeros((len(texts), max_len), np.int64)
@@ -86,11 +94,17 @@ class BertCaptionEmbedder:
             tok_ids = self.tokenizer.convert_tokens_to_ids(pieces)
             ids[i, : len(tok_ids)] = tok_ids
             attn[i, : len(tok_ids)] = 1
-        with torch.no_grad():
-            out = self.model(
-                input_ids=torch.from_numpy(ids),
-                attention_mask=torch.from_numpy(attn))
-        hidden = out.last_hidden_state.numpy()  # final layer == layer 11
+        if self.jax_bert is not None:
+            hidden = self.jax_bert(ids, attn)
+        else:
+            import torch
+
+            with torch.no_grad():
+                out = self.model(
+                    input_ids=torch.from_numpy(ids),
+                    attention_mask=torch.from_numpy(attn))
+            # final layer == layer 11
+            hidden = out.last_hidden_state.numpy()
         return [(pieces, hidden[i, : len(pieces)])
                 for i, pieces in enumerate(piece_lists)]
 

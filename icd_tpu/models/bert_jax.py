@@ -1,0 +1,154 @@
+"""JAX BERT encoder: the frozen bert-base forward, on the TPU.
+
+The reference runs bert-base-uncased on the HOST inside its training hot
+loop, one caption at a time (reference: models/attention.py:166-215).
+tools/bench_bert.py measured that host forward at ~3.5 s/batch-32 on
+this container's CPU — 15x the whole attention train step — so the
+TPU-native design moves the transformer stack onto the chip: this module
+is a pure-JAX BERT encoder forward over a pytree converted from any
+torch ``transformers.BertModel`` (``bert_from_torch``), jitted per
+sequence-length bucket. The wordpiece→word alignment stays host-side
+string logic (models/bert_embed.py), exactly like the reference.
+
+Numerics: standard HF BERT semantics — word+position+token-type
+embeddings, LayerNorm eps from the model config, erf GeLU, 1/sqrt(d)
+scaled dot-product attention with additive -1e9 padding mask. Matches
+the torch forward to f32 tolerance on CPU (tests/test_bert_jax.py); on
+TPU the MXU's default f32->bf16 operand truncation applies (training
+inputs, not a parity surface — inference/beam still uses the decoder's
+learned table, reference gen_captions.py:19).
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _t(x):
+    if hasattr(x, "detach"):
+        x = x.detach().cpu().numpy()
+    return np.asarray(x, np.float32)
+
+
+def _lin(sd, prefix):
+    # torch Linear stores (out, in); we keep (in, out).
+    return {"w": _t(sd[prefix + ".weight"]).T, "b": _t(sd[prefix + ".bias"])}
+
+
+def _ln(sd, prefix):
+    return {"scale": _t(sd[prefix + ".weight"]),
+            "bias": _t(sd[prefix + ".bias"])}
+
+
+def bert_from_torch(model):
+    """transformers.BertModel -> (params pytree, config dict)."""
+    sd = model.state_dict()
+    cfg = model.config
+    n_layers = cfg.num_hidden_layers
+    layers = []
+    for i in range(n_layers):
+        p = "encoder.layer.{}.".format(i)
+        layers.append({
+            "q": _lin(sd, p + "attention.self.query"),
+            "k": _lin(sd, p + "attention.self.key"),
+            "v": _lin(sd, p + "attention.self.value"),
+            "o": _lin(sd, p + "attention.output.dense"),
+            "ln_att": _ln(sd, p + "attention.output.LayerNorm"),
+            "ffn_in": _lin(sd, p + "intermediate.dense"),
+            "ffn_out": _lin(sd, p + "output.dense"),
+            "ln_out": _ln(sd, p + "output.LayerNorm"),
+        })
+    params = {
+        "word": _t(sd["embeddings.word_embeddings.weight"]),
+        "pos": _t(sd["embeddings.position_embeddings.weight"]),
+        "type": _t(sd["embeddings.token_type_embeddings.weight"]),
+        "ln_emb": _ln(sd, "embeddings.LayerNorm"),
+        "layers": layers,
+    }
+    config = {
+        "num_heads": cfg.num_attention_heads,
+        "ln_eps": float(getattr(cfg, "layer_norm_eps", 1e-12)),
+    }
+    return params, config
+
+
+def _layer_norm(x, ln, eps):
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps) * ln["scale"] + ln["bias"]
+
+
+def bert_encoder_forward(params, input_ids, attention_mask, num_heads=12,
+                         ln_eps=1e-12):
+    """(B, L) ids + (B, L) {0,1} mask -> (B, L, H) last hidden states."""
+    b, length = input_ids.shape
+    hidden = (params["word"][input_ids]
+              + params["pos"][jnp.arange(length)][None]
+              + params["type"][jnp.zeros((b, length), jnp.int32)])
+    hidden = _layer_norm(hidden, params["ln_emb"], ln_eps)
+
+    # Additive mask: padded keys pushed to -1e9 before softmax.
+    bias = (1.0 - attention_mask.astype(hidden.dtype))[:, None, None, :]
+    bias = bias * -1e9
+
+    h_dim = hidden.shape[-1]
+    head_dim = h_dim // num_heads
+    scale = 1.0 / math.sqrt(head_dim)
+
+    def heads(x):  # (B, L, H) -> (B, heads, L, head_dim)
+        return x.reshape(b, length, num_heads, head_dim).transpose(
+            0, 2, 1, 3)
+
+    for layer in params["layers"]:
+        q = heads(hidden @ layer["q"]["w"] + layer["q"]["b"])
+        k = heads(hidden @ layer["k"]["w"] + layer["k"]["b"])
+        v = heads(hidden @ layer["v"]["w"] + layer["v"]["b"])
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale + bias
+        probs = jax.nn.softmax(scores, axis=-1)
+        ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, length, h_dim)
+        att_out = ctx @ layer["o"]["w"] + layer["o"]["b"]
+        hidden = _layer_norm(hidden + att_out, layer["ln_att"], ln_eps)
+
+        inter = jax.nn.gelu(
+            hidden @ layer["ffn_in"]["w"] + layer["ffn_in"]["b"],
+            approximate=False)
+        ffn_out = inter @ layer["ffn_out"]["w"] + layer["ffn_out"]["b"]
+        hidden = _layer_norm(hidden + ffn_out, layer["ln_out"], ln_eps)
+
+    return hidden
+
+
+class JaxBert:
+    """Device-resident BERT forward with per-bucket jitted programs.
+
+    Drop-in for the torch model inside BertCaptionEmbedder's
+    ``_embed_texts``: call with (B, L) int64/int32 ids + mask, get
+    (B, L, H) float32 hidden states back on host. Sequence lengths are
+    bucketed to multiples of ``bucket`` so XLA compiles a handful of
+    shapes, not one per batch max.
+    """
+
+    def __init__(self, torch_model, bucket=16):
+        self.params, cfg = bert_from_torch(torch_model)
+        self.params = jax.tree_util.tree_map(jnp.asarray, self.params)
+        self.bucket = bucket
+        self._fwd = jax.jit(
+            lambda p, ids, mask: bert_encoder_forward(
+                p, ids, mask, num_heads=cfg["num_heads"],
+                ln_eps=cfg["ln_eps"]))
+
+    def __call__(self, ids, mask):
+        ids = np.asarray(ids, np.int32)
+        mask = np.asarray(mask, np.int32)
+        b, length = ids.shape
+        padded = max(self.bucket,
+                     ((length + self.bucket - 1) // self.bucket)
+                     * self.bucket)
+        if padded != length:
+            ids = np.pad(ids, ((0, 0), (0, padded - length)))
+            mask = np.pad(mask, ((0, 0), (0, padded - length)))
+        out = self._fwd(self.params, jnp.asarray(ids), jnp.asarray(mask))
+        return np.asarray(out[:, :length]).astype(np.float32)

@@ -169,9 +169,15 @@ def train(args, mesh=None):
 
     bert_embedder = None
     if args.use_bert:
+        import os as _os
+
         from ..models.bert_embed import BertCaptionEmbedder
 
-        bert_embedder = BertCaptionEmbedder(vocab)
+        # Device-resident BERT forward by default (the host torch
+        # forward is 15x the train step on CPU, NOTES.md);
+        # ICD_TPU_BERT_HOST=1 keeps the reference-style host path.
+        bert_embedder = BertCaptionEmbedder(
+            vocab, device=not _os.environ.get("ICD_TPU_BERT_HOST"))
 
     mask = {
         # The attention encoder has no head; with the backbone frozen the

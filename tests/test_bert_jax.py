@@ -1,0 +1,116 @@
+"""JAX BERT encoder differentials vs transformers' torch BertModel."""
+
+import numpy as np
+import pytest
+import torch
+
+from icd_tpu.models.bert_jax import (
+    JaxBert, bert_encoder_forward, bert_from_torch)
+
+import jax
+
+
+@pytest.fixture(scope="module")
+def torch_bert():
+    from transformers import BertConfig, BertModel
+
+    torch.manual_seed(0)
+    config = BertConfig(
+        vocab_size=43, hidden_size=24, num_hidden_layers=3,
+        num_attention_heads=4, intermediate_size=48,
+        max_position_embeddings=64)
+    return BertModel(config).eval()
+
+
+def _torch_hidden(model, ids, attn):
+    with torch.no_grad():
+        out = model(input_ids=torch.from_numpy(ids.astype(np.int64)),
+                    attention_mask=torch.from_numpy(attn.astype(np.int64)))
+    return out.last_hidden_state.numpy()
+
+
+def test_forward_matches_torch_full_mask(torch_bert):
+    params, cfg = bert_from_torch(torch_bert)
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, 43, (3, 11)).astype(np.int32)
+    attn = np.ones((3, 11), np.int32)
+    ref = _torch_hidden(torch_bert, ids, attn)
+    import jax.numpy as jnp
+
+    ours = bert_encoder_forward(
+        jax.tree_util.tree_map(jnp.asarray, params), jnp.asarray(ids),
+        jnp.asarray(attn), num_heads=cfg["num_heads"],
+        ln_eps=cfg["ln_eps"])
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=2e-5)
+
+
+def test_forward_matches_torch_with_padding(torch_bert):
+    """Padded positions are masked out of attention; valid rows match."""
+    params, cfg = bert_from_torch(torch_bert)
+    rng = np.random.default_rng(1)
+    ids = rng.integers(0, 43, (2, 9)).astype(np.int32)
+    attn = np.ones((2, 9), np.int32)
+    attn[0, 6:] = 0
+    attn[1, 4:] = 0
+    ids[attn == 0] = 0
+    ref = _torch_hidden(torch_bert, ids, attn)
+    import jax.numpy as jnp
+
+    ours = np.asarray(bert_encoder_forward(
+        jax.tree_util.tree_map(jnp.asarray, params), jnp.asarray(ids),
+        jnp.asarray(attn), num_heads=cfg["num_heads"],
+        ln_eps=cfg["ln_eps"]))
+    np.testing.assert_allclose(ours[0, :6], ref[0, :6], atol=2e-5)
+    np.testing.assert_allclose(ours[1, :4], ref[1, :4], atol=2e-5)
+
+
+def test_jaxbert_bucketing_invariant(torch_bert):
+    """Bucket padding must not change the unpadded rows' embeddings."""
+    jb = JaxBert(torch_bert, bucket=16)
+    rng = np.random.default_rng(2)
+    ids = rng.integers(0, 43, (2, 7)).astype(np.int32)
+    attn = np.ones((2, 7), np.int32)
+    out7 = jb(ids, attn)
+    assert out7.shape == (2, 7, 24)
+    ref = _torch_hidden(torch_bert, ids, attn)
+    np.testing.assert_allclose(out7, ref, atol=2e-5)
+
+
+def test_embedder_device_equals_host(torch_bert):
+    """BertCaptionEmbedder(device=True) produces the same aligned
+    embeddings as the torch host path."""
+    from icd_tpu.models.bert_embed import BertCaptionEmbedder
+    from icd_tpu.vocabulary import (
+        END_TOKEN, PAD_TOKEN, START_TOKEN, UNK_TOKEN, Vocabulary)
+    from transformers import BertTokenizer
+
+    wordpieces = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "a", "man", "rid",
+                  "##ing", "horse", "on", "the", "beach", ".", "<",
+                  "start", "end", "pad", "unk", ">"]
+    import tempfile, os
+
+    vp = os.path.join(tempfile.mkdtemp(), "vocab.txt")
+    with open(vp, "w") as f:
+        f.write("\n".join(wordpieces))
+    # Reuse the module torch_bert but with a tokenizer over this vocab
+    # (ids stay within the model's 43-token table).
+    tokenizer = BertTokenizer(vp, do_lower_case=True)
+
+    v = Vocabulary()
+    v.add_word(PAD_TOKEN)
+    for w in ["a", "man", "riding", "horse", "on", "the", "beach", "."]:
+        v.add_word(w)
+    v.add_word(START_TOKEN)
+    v.add_word(END_TOKEN)
+    v.add_word(UNK_TOKEN)
+
+    captions = np.asarray(
+        [[v(START_TOKEN), v("a"), v("man"), v("riding"), v("horse"),
+          v(END_TOKEN)],
+         [v(START_TOKEN), v("the"), v("horse"), v("on"), v("beach"),
+          v(END_TOKEN)]], np.int32)
+
+    host = BertCaptionEmbedder(v, model=torch_bert, tokenizer=tokenizer)
+    dev = BertCaptionEmbedder(v, model=torch_bert, tokenizer=tokenizer,
+                              device=True)
+    np.testing.assert_allclose(dev(captions), host(captions), atol=3e-5)
