@@ -85,6 +85,8 @@ def main():
     vocab, bert, tokenizer = _make_vocab_and_bert()
     embedder = BertCaptionEmbedder(vocab, model=bert, tokenizer=tokenizer,
                                    cache_size=1)  # defeat memoization
+    embedder_dev = BertCaptionEmbedder(
+        vocab, model=bert, tokenizer=tokenizer, cache_size=1, device=True)
 
     ap = AttentionDecoderParams()
     ap.embed_size = 768
@@ -134,6 +136,13 @@ def main():
         embedder(b["captions"])
     bert_t = (time.perf_counter() - t0) / steps
 
+    # Device (JaxBert) embedder alone.
+    embedder_dev(host_batches[0]["captions"])  # compile
+    t0 = time.perf_counter()
+    for b in host_batches:
+        embedder_dev(b["captions"])
+    bert_dev_t = (time.perf_counter() - t0) / steps
+
     # Device step alone (reusing one embedding).
     t0 = time.perf_counter()
     for b in host_batches:
@@ -148,23 +157,35 @@ def main():
 
     # Overlapped (the train loop's shape: embedder on the prefetch
     # producer thread).
-    def with_bert(it):
+    def with_bert(it, emb):
         for b in it:
             b = dict(b)
-            b["embeddings"] = embedder(b["captions"])
+            b["embeddings"] = emb(b["captions"])
             yield b
 
     t0 = time.perf_counter()
-    for b in device_prefetch(with_bert(iter(host_batches)), size=2):
+    for b in device_prefetch(with_bert(iter(host_batches), embedder),
+                             size=2):
         state, _ = run_step(state, b, b["embeddings"])
     overlap_t = (time.perf_counter() - t0) / steps
 
-    print("host BERT alone:  %.1f ms/batch" % (bert_t * 1e3))
-    print("device step alone:%.1f ms/step (incl. tunnel roundtrip)"
+    # Overlapped with the device-resident BERT (the train-loop default).
+    t0 = time.perf_counter()
+    for b in device_prefetch(with_bert(iter(host_batches), embedder_dev),
+                             size=2):
+        state, _ = run_step(state, b, b["embeddings"])
+    overlap_dev_t = (time.perf_counter() - t0) / steps
+
+    print("host BERT alone:   %.1f ms/batch" % (bert_t * 1e3))
+    print("device BERT alone: %.1f ms/batch (JaxBert, incl. roundtrip)"
+          % (bert_dev_t * 1e3))
+    print("device step alone: %.1f ms/step (incl. tunnel roundtrip)"
           % (step_t * 1e3))
-    print("inline loop:      %.1f ms/step" % (inline_t * 1e3))
-    print("overlapped loop:  %.1f ms/step (%.0f%% of inline)"
+    print("inline loop:       %.1f ms/step" % (inline_t * 1e3))
+    print("overlapped loop:   %.1f ms/step (%.0f%% of inline)"
           % (overlap_t * 1e3, 100.0 * overlap_t / inline_t))
+    print("overlapped+devBERT:%.1f ms/step (%.0f%% of inline)"
+          % (overlap_dev_t * 1e3, 100.0 * overlap_dev_t / inline_t))
 
 
 if __name__ == "__main__":
