@@ -28,6 +28,7 @@ Shims only install when the real package is absent.
 """
 
 import importlib
+import importlib.machinery
 import sys
 import types
 
@@ -197,26 +198,72 @@ class _RaisingModule(types.ModuleType):
                 self.__name__, name))
 
 
+def _with_specs(mods):
+    """Stub modules need a real ``__spec__``: ``importlib.util.find_spec``
+    raises ``ValueError`` on spec-less sys.modules entries, which breaks
+    third-party availability probes (e.g. transformers checking for
+    torchvision)."""
+    for name, mod in mods.items():
+        if mod.__spec__ is None:
+            mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
+    return mods
+
+
 def install_reference_shims(reference_root=REFERENCE_ROOT):
     """Make reference whole-module pickles loadable: reference repo on
     sys.path, our pycocotools shim importable, and stand-in modules for
-    the reference's uninstalled dependencies."""
+    the reference's uninstalled dependencies.
+
+    The reference root is APPENDED to sys.path: unpickling only needs
+    names that exist nowhere else (``models.*``, ``vocabulary``), and
+    appending keeps this repo's own root-level ``train``/``eval``
+    modules from being shadowed by the reference's same-named files.
+
+    Returns an opaque state token for :func:`uninstall_reference_shims`
+    (tests use it to de-pollute the process; production CLIs can ignore
+    it — the shims are idempotent and harmless once loading is done).
+    """
     import os
 
+    state = {"paths": [], "modules": []}
     if reference_root not in sys.path and os.path.isdir(reference_root):
-        sys.path.insert(0, reference_root)
+        sys.path.append(reference_root)
+        state["paths"].append(reference_root)
     # pycocotools for reference dataset.py/vocabulary.py imports
     # (the reference appends the cwd-relative 'cocoapi/PythonAPI/').
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     shim_dir = os.path.join(repo_root, "cocoapi", "PythonAPI")
     if _module_missing("pycocotools") and shim_dir not in sys.path:
         sys.path.append(shim_dir)
+        state["paths"].append(shim_dir)
 
+    stubs = {}
     if _module_missing("torchvision"):
-        sys.modules.update(_build_torchvision_stub())
+        stubs.update(_build_torchvision_stub())
     if _module_missing("pytorch_pretrained_bert"):
-        sys.modules.update(_build_bert_stub())
+        stubs.update(_build_bert_stub())
     if _module_missing("bcolz"):
         bcolz = _RaisingModule("bcolz")
         bcolz.__is_icd_tpu_shim__ = True
-        sys.modules["bcolz"] = bcolz
+        stubs["bcolz"] = bcolz
+    sys.modules.update(_with_specs(stubs))
+    state["modules"].extend(stubs)
+    return state
+
+
+def uninstall_reference_shims(state):
+    """Undo :func:`install_reference_shims` (plus any reference modules
+    imported meanwhile): restores sys.path and evicts the stub modules
+    and everything imported from the reference root, so one caller's
+    shims can't leak into unrelated code (a spec-less ``torchvision``
+    stub breaks transformers; ``/root/reference`` on sys.path shadows
+    same-named modules)."""
+    for p in state["paths"]:
+        if p in sys.path:
+            sys.path.remove(p)
+    for name in state["modules"]:
+        sys.modules.pop(name, None)
+    for name, mod in list(sys.modules.items()):
+        f = getattr(mod, "__file__", None)
+        if f and f.startswith(REFERENCE_ROOT):
+            del sys.modules[name]

@@ -28,6 +28,29 @@ import numpy as np
 BERT_DIM = 768
 
 
+def piece_word_segments(words, pieces):
+    """The alignment walk of ``align_pieces_to_words`` as indices only:
+    returns (len(pieces),) int32 with the word index each piece's
+    embedding is summed into, or -1 for pieces the walk never consumes.
+    Used by the device-aligned path (segment-sum on TPU); kept in exact
+    lockstep with the walk below (tested equivalent in
+    tests/test_bert_embed.py).
+    """
+    seg = np.full(len(pieces), -1, np.int32)
+    j = 0
+    for wi, word in enumerate(words):
+        target = word.replace("#", "").lower()
+        built = ""
+        while j < len(pieces):
+            piece = pieces[j]
+            seg[j] = wi
+            j += 1
+            built += piece.replace("#", "")
+            if built.lower() == target or piece == "[UNK]":
+                break
+    return seg
+
+
 def align_pieces_to_words(words, pieces, piece_embeddings):
     """Sum piece embeddings per whitespace word.
 
@@ -109,9 +132,20 @@ class BertCaptionEmbedder:
                 for i, pieces in enumerate(piece_lists)]
 
     def __call__(self, captions):
-        """captions: (B, T) int array -> (B, T+1, D) float32."""
+        """captions: (B, T) int array -> (B, T+1, D) float32.
+
+        Device mode returns a DEVICE array: BERT forward AND the
+        piece->word sum run in one jitted program, so only the tiny
+        int arrays (piece ids / mask / segment indices) cross the host
+        link and the result feeds the train step without a fetch or
+        re-upload. The cache then memoizes the host string work
+        (tokenization + segment walk) instead of embeddings — the
+        on-chip forward is ~ms, the strings are the recurring cost.
+        """
         captions = np.asarray(captions)
         keys = [tuple(int(t) for t in row) for row in captions]
+        if self.jax_bert is not None:
+            return self._call_device(captions, keys)
         missing = [k for k in dict.fromkeys(keys) if k not in self._cache]
         if missing:
             texts = ["[CLS] " + " ".join(self.vocab.i2w[t] for t in k)
@@ -129,6 +163,37 @@ class BertCaptionEmbedder:
                 self._cache.clear()
             self._cache.update(fresh)
         return np.stack([self._cache[k] for k in keys])
+
+    def _tokenize_rows(self, keys):
+        """Memoized host string work: caption key -> (piece ids, seg)."""
+        missing = [k for k in dict.fromkeys(keys) if k not in self._cache]
+        if missing:
+            fresh = {}
+            for k in missing:
+                text = "[CLS] " + " ".join(self.vocab.i2w[t] for t in k)
+                pieces = self.tokenizer.tokenize(text)
+                ids = np.asarray(
+                    self.tokenizer.convert_tokens_to_ids(pieces),
+                    np.int32)
+                seg = piece_word_segments(text.split(), pieces)
+                fresh[k] = (ids, seg)
+            if len(self._cache) + len(fresh) > self._cache_size:
+                self._cache.clear()
+            self._cache.update(fresh)
+        return [self._cache[k] for k in keys]
+
+    def _call_device(self, captions, keys):
+        rows = self._tokenize_rows(keys)
+        n_words = captions.shape[1] + 1  # + [CLS] row
+        max_len = max(len(ids) for ids, _ in rows)
+        ids = np.zeros((len(rows), max_len), np.int32)
+        attn = np.zeros((len(rows), max_len), np.int32)
+        seg = np.full((len(rows), max_len), -1, np.int32)
+        for i, (row_ids, row_seg) in enumerate(rows):
+            ids[i, : len(row_ids)] = row_ids
+            attn[i, : len(row_ids)] = 1
+            seg[i, : len(row_ids)] = row_seg
+        return self.jax_bert.aligned(ids, attn, seg, n_words)
 
 
 def _load_default_bert():

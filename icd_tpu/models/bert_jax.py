@@ -121,6 +121,29 @@ def bert_encoder_forward(params, input_ids, attention_mask, num_heads=12,
     return hidden
 
 
+def bert_aligned_forward(params, input_ids, attention_mask, seg, n_words,
+                         num_heads=12, ln_eps=1e-12):
+    """BERT forward + on-device piece->word alignment.
+
+    ``seg`` is (B, L) int32: the word index each wordpiece belongs to
+    (-1 for pieces the host alignment walk never consumed, including
+    padding). The reference sums piece embeddings per word on the host
+    (reference: models/attention.py:190-215); here the sum is a
+    segment-sum on device so the (B, L, H) hidden states never cross
+    the host link — only the tiny int arrays do.
+    """
+    hidden = bert_encoder_forward(params, input_ids, attention_mask,
+                                  num_heads=num_heads, ln_eps=ln_eps)
+    # -1 (unconsumed/padding) routes to a dump row that is sliced off;
+    # words that received no pieces are left at zero, matching the
+    # host path's zeros-row fallback (bert_embed.align_pieces_to_words).
+    safe = jnp.where(seg < 0, n_words, seg)
+    aligned = jax.vmap(
+        lambda h, s: jax.ops.segment_sum(h, s, num_segments=n_words + 1)
+    )(hidden, safe)
+    return aligned[:, :n_words]
+
+
 class JaxBert:
     """Device-resident BERT forward with per-bucket jitted programs.
 
@@ -129,6 +152,11 @@ class JaxBert:
     (B, L, H) float32 hidden states back on host. Sequence lengths are
     bucketed to multiples of ``bucket`` so XLA compiles a handful of
     shapes, not one per batch max.
+
+    ``aligned`` fuses the piece->word segment-sum into the same device
+    program and returns a DEVICE array, so the embeddings feed the
+    train step without a host round-trip (the dev tunnel ships ~2 MB
+    per step otherwise; real hosts still save the PCIe hop).
     """
 
     def __init__(self, torch_model, bucket=16):
@@ -139,16 +167,37 @@ class JaxBert:
             lambda p, ids, mask: bert_encoder_forward(
                 p, ids, mask, num_heads=cfg["num_heads"],
                 ln_eps=cfg["ln_eps"]))
+        self._fwd_aligned = jax.jit(
+            lambda p, ids, mask, seg, n_words: bert_aligned_forward(
+                p, ids, mask, seg, n_words,
+                num_heads=cfg["num_heads"], ln_eps=cfg["ln_eps"]),
+            static_argnums=(4,))
+
+    def _pad(self, arrs, fill):
+        length = arrs[0].shape[1]
+        padded = max(self.bucket,
+                     ((length + self.bucket - 1) // self.bucket)
+                     * self.bucket)
+        if padded == length:
+            return arrs
+        return [np.pad(a, ((0, 0), (0, padded - length)),
+                       constant_values=f)
+                for a, f in zip(arrs, fill)]
 
     def __call__(self, ids, mask):
         ids = np.asarray(ids, np.int32)
         mask = np.asarray(mask, np.int32)
-        b, length = ids.shape
-        padded = max(self.bucket,
-                     ((length + self.bucket - 1) // self.bucket)
-                     * self.bucket)
-        if padded != length:
-            ids = np.pad(ids, ((0, 0), (0, padded - length)))
-            mask = np.pad(mask, ((0, 0), (0, padded - length)))
+        length = ids.shape[1]
+        ids, mask = self._pad([ids, mask], [0, 0])
         out = self._fwd(self.params, jnp.asarray(ids), jnp.asarray(mask))
         return np.asarray(out[:, :length]).astype(np.float32)
+
+    def aligned(self, ids, mask, seg, n_words):
+        """(B, L) ids/mask/seg -> (B, n_words, H) device array."""
+        ids = np.asarray(ids, np.int32)
+        mask = np.asarray(mask, np.int32)
+        seg = np.asarray(seg, np.int32)
+        ids, mask, seg = self._pad([ids, mask, seg], [0, 0, -1])
+        return self._fwd_aligned(self.params, jnp.asarray(ids),
+                                 jnp.asarray(mask), jnp.asarray(seg),
+                                 int(n_words))

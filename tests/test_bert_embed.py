@@ -4,7 +4,8 @@ import numpy as np
 import pytest
 import torch
 
-from icd_tpu.models.bert_embed import BertCaptionEmbedder, align_pieces_to_words
+from icd_tpu.models.bert_embed import (
+    BertCaptionEmbedder, align_pieces_to_words, piece_word_segments)
 from icd_tpu.vocabulary import (
     END_TOKEN, PAD_TOKEN, START_TOKEN, UNK_TOKEN, Vocabulary)
 
@@ -52,6 +53,37 @@ def test_align_sums_pieces():
     np.testing.assert_array_equal(out[0], embs[0])  # [CLS] kept as row 0
     np.testing.assert_array_equal(out[2], embs[2] + embs[3])  # summed pieces
     np.testing.assert_array_equal(out[3], embs[4])
+
+
+def test_piece_word_segments_matches_align():
+    """The index-only walk must reproduce align_pieces_to_words exactly:
+    summing embeddings by segment id == the sequential accumulation,
+    including [UNK] breaks, words with no pieces, and unconsumed tail
+    pieces."""
+    cases = [
+        (["[CLS]", "a", "rid", "##ing", "horse"],
+         ["[CLS]", "a", "riding", "horse"]),
+        # [UNK] breaks the accumulation mid-word.
+        (["[CLS]", "[UNK]", "beach"],
+         ["[CLS]", "zzz", "beach"]),
+        # Pieces run out early -> trailing words get zero rows.
+        (["[CLS]", "a"],
+         ["[CLS]", "a", "man", "horse"]),
+        # Tail pieces no word consumes -> seg -1, excluded from sums.
+        (["[CLS]", "a", "man", "runs"],
+         ["[CLS]", "a"]),
+    ]
+    rng = np.random.default_rng(7)
+    for pieces, words in cases:
+        embs = rng.normal(size=(len(pieces), 4)).astype(np.float32)
+        expected = align_pieces_to_words(words, pieces, embs)
+        seg = piece_word_segments(words, pieces)
+        assert seg.shape == (len(pieces),)
+        got = np.zeros((len(words), 4), np.float32)
+        for j, w in enumerate(seg):
+            if w >= 0:
+                got[w] += embs[j]
+        np.testing.assert_allclose(got, expected, atol=1e-6)
 
 
 def test_embedder_shape_and_alignment(tiny_bert, caption_vocab):

@@ -23,22 +23,40 @@ import torch
 import torch.nn as nn
 
 from icd_tpu.checkpoint import load_checkpoint, unpack_checkpoint
-from icd_tpu.compat import install_reference_shims
+from icd_tpu.compat import (
+    install_reference_shims, uninstall_reference_shims)
 from icd_tpu.models.attention import attention_decoder_forward
 from icd_tpu.models.baseline import baseline_decoder_forward
 from icd_tpu.models.encoder import encoder_forward
 
 from test_resnet import _randomize_bn_stats
 
-install_reference_shims()
+ref_encoder_mod = None
+ref_baseline_mod = None
+ref_attention_mod = None
+ref_vocabulary_mod = None
 
-ref_encoder_mod = importlib.import_module("models.encoder")
-ref_baseline_mod = importlib.import_module("models.baseline")
-ref_attention_mod = importlib.import_module("models.attention")
-ref_vocabulary_mod = importlib.import_module("vocabulary")
 
-assert ref_encoder_mod.__file__.startswith("/root/reference"), (
-    ref_encoder_mod.__file__)
+@pytest.fixture(scope="module", autouse=True)
+def reference_modules():
+    """Install the unpickling shims for THIS module only and de-pollute
+    afterwards: a collection-time install leaked /root/reference onto
+    sys.path (shadowing the repo's root-level ``train``) and a spec-less
+    torchvision stub into sys.modules (transformers' availability probe
+    raises on it), breaking unrelated tests later in the session."""
+    global ref_encoder_mod, ref_baseline_mod
+    global ref_attention_mod, ref_vocabulary_mod
+    state = install_reference_shims()
+    ref_encoder_mod = importlib.import_module("models.encoder")
+    ref_baseline_mod = importlib.import_module("models.baseline")
+    ref_attention_mod = importlib.import_module("models.attention")
+    ref_vocabulary_mod = importlib.import_module("vocabulary")
+    assert ref_encoder_mod.__file__.startswith("/root/reference"), (
+        ref_encoder_mod.__file__)
+    yield
+    uninstall_reference_shims(state)
+    ref_encoder_mod = ref_baseline_mod = None
+    ref_attention_mod = ref_vocabulary_mod = None
 
 
 def _small_torch_resnet(seed=0):
