@@ -43,7 +43,11 @@ def main():
     if args.model_type == "attention":
         from icd_tpu.training.attention import evaluate
 
-        metrics = evaluate(args, encoder, decoder)
+        # The reference's pickled decoder module carries use_bert into
+        # eval (its forward checks self.use_bert, attention.py:242-247);
+        # our checkpoints record it in config instead.
+        use_bert = (chkpt.get("config") or {}).get("use_bert", False)
+        metrics = evaluate(args, encoder, decoder, use_bert=use_bert)
         print(metrics)
         save_eval_data(args.checkpoint.split(".")[0], metrics)
     elif args.model_type == "baseline":

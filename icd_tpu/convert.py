@@ -149,5 +149,9 @@ def convert_reference_checkpoint(path, reference_root="/root/reference",
         "decoder": dec_tree,
         "encoder_optimizer": None,
         "decoder_optimizer": None,
-        "config": {"model": model_type},
+        # The pickled decoder module carries use_bert (the reference's
+        # eval relies on it, attention.py:96,242); surface it so eval.py
+        # restores BERT teacher forcing for converted checkpoints too.
+        "config": {"model": model_type,
+                   "use_bert": bool(getattr(decoder, "use_bert", False))},
     }

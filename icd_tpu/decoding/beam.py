@@ -16,6 +16,10 @@ Reimplements the reference's dynamic-k beam search
    (gen_captions.py:54, 89)
  - the step budget is 51 iterations, matching the reference's
    ``step > 50`` break placement (gen_captions.py:119-121)
+ - next-word embeddings come from the learned table even for
+   BERT-trained checkpoints, exactly like the reference
+   (gen_captions.py:65 uses ``decoder.embedding`` unconditionally and
+   :19 notes the bert model "sometimes doesn't converge" under it)
 
 The public wrapper ``attention_caption_image_beam_search`` keeps the
 reference's return protocol: (seq, alphas, Caption_End).

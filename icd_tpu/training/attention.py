@@ -290,10 +290,12 @@ def train(args, mesh=None):
 
 def make_eval_step():
     @jax.jit
-    def step(encoder, decoder, imgs, captions, decode_lengths):
+    def step(encoder, decoder, imgs, captions, decode_lengths,
+             embeddings=None):
         grid, _ = encoder_attention_forward(encoder, imgs, train=False)
         scores, alphas = attention_decoder_forward(
-            decoder, grid, captions, decode_lengths)
+            decoder, grid, captions, decode_lengths,
+            embeddings=embeddings)
         scores = scores.astype(jnp.float32)
         targets = captions[:, 1:]
         logprobs = jax.nn.log_softmax(scores, axis=-1)
@@ -313,12 +315,26 @@ def make_eval_step():
     return step
 
 
-def evaluate(args, encoder, decoder, batch_size=64):
+def evaluate(args, encoder, decoder, batch_size=64, use_bert=False):
     """Teacher-forced eval (reference: models/attention.py:454-567),
-    batched on device, numerically equal to the reference batch-1 loop."""
+    batched on device, numerically equal to the reference batch-1 loop.
+
+    ``use_bert`` makes teacher forcing use BERT caption embeddings, like
+    the reference's pickled decoder module does automatically at eval
+    (its forward checks ``self.use_bert``, attention.py:242-247; eval.py
+    reads the flag from our checkpoint's config instead)."""
     dataset = COCODataset("val", caption_max_len=args.max_caption_length)
     vocab = dataset.vocab
     special = {vocab(START_TOKEN), vocab(END_TOKEN), vocab(PAD_TOKEN)}
+
+    bert_embedder = None
+    if use_bert:
+        import os as _os
+
+        from ..models.bert_embed import BertCaptionEmbedder
+
+        bert_embedder = BertCaptionEmbedder(
+            vocab, device=not _os.environ.get("ICD_TPU_BERT_HOST"))
 
     batch_size = snap_eval_batch(len(dataset), batch_size)
     loader = DataLoader(
@@ -341,9 +357,11 @@ def evaluate(args, encoder, decoder, batch_size=64):
             (batch["imgs"], batch["captions"], batch["caption_lengths"]),
             batch_size)
 
+        embeddings = (bert_embedder(np.asarray(captions))
+                      if bert_embedder is not None else None)
         per_sample, preds = step(
             encoder, decoder, imgs, captions,
-            (lengths - 1).astype(np.int32))
+            (lengths - 1).astype(np.int32), embeddings)
         per_sample = np.asarray(per_sample)[:valid]
         preds = np.asarray(preds)[:valid]
 

@@ -188,6 +188,7 @@ def test_whole_module_attention_roundtrip(tmp_root, monkeypatch):
     chkpt = load_checkpoint(name=name, verbose=False)
     assert chkpt["epoch"] == 2
     assert chkpt["config"]["model"] == "attention"
+    assert chkpt["config"]["use_bert"] is False
     enc_tree, dec_tree = chkpt["encoder"], chkpt["decoder"]
 
     # EncoderAttention parity: 14x14x2048 grid (reference permutes
@@ -241,8 +242,12 @@ def test_whole_module_bert_decoder_extra_keys(tmp_root, monkeypatch):
     params.vocab = _ref_vocab(n_words=9)
     decoder = ref_attention_mod.AttentionDecoder(
         torch.device("cpu"), params).eval()
-    # Simulate the use_bert module graph: an extra frozen submodule.
+    # Simulate the use_bert module graph: an extra frozen submodule and
+    # the flag the reference's eval-time forward branches on
+    # (attention.py:96,242). Set post-construction: __init__ with
+    # use_bert=True would download the real bert-base-uncased.
     decoder.bert_model = nn.Linear(3, 3)
+    decoder.use_bert = True
     assert any(k.startswith("bert_model.")
                for k in decoder.state_dict())
 
@@ -250,5 +255,7 @@ def test_whole_module_bert_decoder_extra_keys(tmp_root, monkeypatch):
                                   encoder, decoder)
     chkpt = load_checkpoint(name=name, verbose=False)
     assert chkpt["config"]["model"] == "attention"
+    # eval.py restores BERT teacher forcing from this recorded flag.
+    assert chkpt["config"]["use_bert"] is True
     assert "bert_model" not in chkpt["decoder"]
     assert chkpt["decoder"]["embedding"].shape == (len(params.vocab), 4)

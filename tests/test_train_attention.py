@@ -89,6 +89,20 @@ def test_train_with_bert(use_coco_root, monkeypatch, tmp_path):
     chkpt = load_checkpoint(name="att_bert_0.ckpt")
     assert all(np.isfinite(v)
                for v in chkpt["metrics"]["epoch_losses"][0])
+    # eval.py keys BERT teacher forcing off this recorded flag (the
+    # reference's pickled decoder module carries it instead).
+    assert chkpt["config"]["use_bert"] is True
+
+    # Eval with BERT embeddings (what the reference's eval does for a
+    # BERT-trained module): runs, and actually changes the numbers vs
+    # teacher-forcing with the frozen untrained table.
+    bert_metrics = ta.evaluate(args, chkpt["encoder"], chkpt["decoder"],
+                               batch_size=4, use_bert=True)
+    assert all(np.isfinite(v) for v in bert_metrics["losses"])
+    table_metrics = ta.evaluate(args, chkpt["encoder"], chkpt["decoder"],
+                                batch_size=4)
+    assert not np.allclose(bert_metrics["losses"],
+                           table_metrics["losses"])
 
 
 def test_attention_evaluate(use_coco_root):
