@@ -20,8 +20,13 @@ import numpy as np
 
 
 def caption_teacher_forced(model_type, encoder, decoder, img, caption,
-                           vocab):
-    """Argmax caption under teacher forcing, like captions.ipynb."""
+                           vocab, bert_embedder=None):
+    """Argmax caption under teacher forcing, like captions.ipynb.
+
+    For BERT-trained checkpoints the notebook's pickled decoder module
+    teacher-forces with BERT embeddings (its forward checks
+    ``self.use_bert``, reference attention.py:242-247); pass
+    ``bert_embedder`` to reproduce that."""
     import jax
     import jax.numpy as jnp
 
@@ -39,9 +44,12 @@ def caption_teacher_forced(model_type, encoder, decoder, img, caption,
         scores = baseline_decoder_forward(decoder, feats, caps)
     else:
         grid, _ = encoder_attention_forward(encoder, imgs, train=False)
+        embeddings = (bert_embedder(np.asarray(caps))
+                      if bert_embedder is not None else None)
         scores, _ = attention_decoder_forward(
             decoder, grid, caps,
-            jnp.asarray([caps.shape[1] - 1], jnp.int32))
+            jnp.asarray([caps.shape[1] - 1], jnp.int32),
+            embeddings=embeddings)
     preds = np.asarray(jnp.argmax(scores, axis=-1))[0]
     words = [vocab.i2w[int(t)] for t in preds if int(t) not in special]
     return " ".join(words)
@@ -62,6 +70,8 @@ def main():
     from icd_tpu.data.dataset import COCODataset
 
     models = []
+    bert_embedder = None
+    dataset = COCODataset("val", caption_max_len=-1)
     for entry in args.checkpoints:
         name, _, mtype = entry.partition(":")
         mtype = mtype or ("attention" if "att" in name else "baseline")
@@ -69,9 +79,16 @@ def main():
         _, enc, dec, _, _, _ = unpack_checkpoint(chkpt)
         enc = jax.tree_util.tree_map(jnp.asarray, enc)
         dec = jax.tree_util.tree_map(jnp.asarray, dec)
-        models.append((name, mtype, enc, dec))
+        embedder = None
+        if (chkpt.get("config") or {}).get("use_bert", False):
+            if bert_embedder is None:
+                from icd_tpu.models.bert_embed import BertCaptionEmbedder
 
-    dataset = COCODataset("val", caption_max_len=-1)
+                bert_embedder = BertCaptionEmbedder(
+                    dataset.vocab,
+                    device=not os.environ.get("ICD_TPU_BERT_HOST"))
+            embedder = bert_embedder
+        models.append((name, mtype, enc, dec, embedder))
     rng = np.random.default_rng(args.seed)
     for idx in rng.choice(len(dataset), args.num_images, replace=False):
         img, caption, img_path, _ = dataset[int(idx)]
@@ -79,9 +96,10 @@ def main():
         print("=" * 60)
         print("image:", img_path)
         print("truth:", truth)
-        for name, mtype, enc, dec in models:
+        for name, mtype, enc, dec, embedder in models:
             cap = caption_teacher_forced(
-                mtype, enc, dec, img, caption, dataset.vocab)
+                mtype, enc, dec, img, caption, dataset.vocab,
+                bert_embedder=embedder)
             print("{:>24}: {}".format(name, cap))
 
 
