@@ -91,3 +91,37 @@ def test_extension_flags_parse_real_booleans():
     assert ns.amp is True and ns.int8_encoder is True
     with pytest.raises(SystemExit):
         parser.parse_args(["m", "--amp", "maybe"])
+
+
+def test_eval_cli_restores_use_bert(use_coco_root, monkeypatch, capsys):
+    """eval.py reads use_bert from the checkpoint config and passes it to
+    the attention evaluate driver (the reference's pickled decoder module
+    carries the flag into its forward instead)."""
+    import pickle
+    import sys
+
+    import icd_tpu.training.attention as ta
+
+    state = {"epoch": 0, "metrics": {},
+             "encoder": {}, "decoder": {},
+             "encoder_optimizer": None, "decoder_optimizer": None,
+             "config": {"model": "attention", "use_bert": True}}
+    with open(os.path.join(use_coco_root, "checkpoints",
+                           "bertwire_0.ckpt"), "wb") as f:
+        pickle.dump(state, f)
+
+    seen = {}
+
+    def fake_evaluate(args, encoder, decoder, use_bert=False):
+        seen["use_bert"] = use_bert
+        return {"Bleu_1": 0.0, "losses": []}
+
+    monkeypatch.setattr(ta, "evaluate", fake_evaluate)
+    spec = importlib.util.spec_from_file_location(
+        "icd_eval_cli", os.path.join(REPO, "eval.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    monkeypatch.setattr(sys, "argv", [
+        "eval.py", "bertwire_0.ckpt", "--model_type", "attention"])
+    mod.main()
+    assert seen["use_bert"] is True
