@@ -221,6 +221,9 @@ def attention_decoder_forward(decoder_params, encoder_out, captions,
         alpha = jnp.where(active, alpha, 0.0)
         return (h, c), (h, alpha)
 
+    # scan unroll measured a regression here (f32 step 12.5 -> 14.5 ms
+    # at unroll=2, tools/bench_train.py --attention) — the body is
+    # fusion-bound, not loop-overhead-bound; keep unroll=1.
     (_, _), (hs, alphas) = jax.lax.scan(
         body, (h, c), (emb_x_tm, t_steps))
 
