@@ -14,7 +14,9 @@
 
 PY ?= python
 
-.PHONY: attention baseline attention_glove baseline_glove attention_bert clean printy test bench
+.PHONY: attention baseline attention_glove baseline_glove attention_bert \
+	baseline_eval baseline_glove_eval attention_eval attention_glove_eval \
+	bert_att_eval clean printy test bench
 
 printy:
 	echo "Specify command please"

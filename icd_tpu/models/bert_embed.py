@@ -156,13 +156,23 @@ class BertCaptionEmbedder:
                 words = text.split()
                 aligned = align_pieces_to_words(words, pieces, embs)
                 fresh[k] = aligned.astype(np.float32)
-            # Evict BEFORE merging so the current batch's entries are
-            # never dropped mid-call (clearing inside the fill loop
-            # loses keys the final stack still needs).
-            if len(self._cache) + len(fresh) > self._cache_size:
-                self._cache.clear()
-            self._cache.update(fresh)
+            self._merge_cache(keys, fresh)
         return np.stack([self._cache[k] for k in keys])
+
+    def _merge_cache(self, keys, fresh):
+        """Insert ``fresh`` with eviction that can never drop entries the
+        CURRENT call still needs: on overflow the cache resets to exactly
+        this batch's working set (cached-and-needed + fresh). A bare
+        clear() here would evict keys that were cached before this call
+        but appear in ``keys``, and the final per-key lookup would
+        KeyError once the cache first fills on a batch that mixes old
+        and new captions."""
+        if len(self._cache) + len(fresh) > self._cache_size:
+            needed = {k: self._cache[k] for k in keys
+                      if k in self._cache}
+            self._cache.clear()
+            self._cache.update(needed)
+        self._cache.update(fresh)
 
     def _tokenize_rows(self, keys):
         """Memoized host string work: caption key -> (piece ids, seg)."""
@@ -177,9 +187,7 @@ class BertCaptionEmbedder:
                     np.int32)
                 seg = piece_word_segments(text.split(), pieces)
                 fresh[k] = (ids, seg)
-            if len(self._cache) + len(fresh) > self._cache_size:
-                self._cache.clear()
-            self._cache.update(fresh)
+            self._merge_cache(keys, fresh)
         return [self._cache[k] for k in keys]
 
     def _call_device(self, captions, keys):

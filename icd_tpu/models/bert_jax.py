@@ -193,11 +193,24 @@ class JaxBert:
         return np.asarray(out[:, :length]).astype(np.float32)
 
     def aligned(self, ids, mask, seg, n_words):
-        """(B, L) ids/mask/seg -> (B, n_words, H) device array."""
+        """(B, L) ids/mask/seg -> (B, n_words, H) device array.
+
+        ``n_words`` is a static arg of the jitted program, so it is
+        bucketed like the sequence length — the attention loader pads
+        captions to the batch max (reference parity, pad_to_multiple=0),
+        so the raw value takes tens of distinct values per epoch and
+        each would recompile the whole encoder (minutes per shape over
+        the remote tunnel). Extra word rows sum only padding/-1 pieces
+        (zeros) and are sliced off here."""
         ids = np.asarray(ids, np.int32)
         mask = np.asarray(mask, np.int32)
         seg = np.asarray(seg, np.int32)
         ids, mask, seg = self._pad([ids, mask, seg], [0, 0, -1])
-        return self._fwd_aligned(self.params, jnp.asarray(ids),
-                                 jnp.asarray(mask), jnp.asarray(seg),
-                                 int(n_words))
+        n_words = int(n_words)
+        nw_pad = max(self.bucket,
+                     ((n_words + self.bucket - 1) // self.bucket)
+                     * self.bucket)
+        out = self._fwd_aligned(self.params, jnp.asarray(ids),
+                                jnp.asarray(mask), jnp.asarray(seg),
+                                nw_pad)
+        return out[:, :n_words]

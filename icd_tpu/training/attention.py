@@ -333,8 +333,13 @@ def evaluate(args, encoder, decoder, batch_size=64, use_bert=False):
 
         from ..models.bert_embed import BertCaptionEmbedder
 
+        # Eval is a PARITY surface: default to the host torch forward
+        # like the reference (device JaxBert's MXU matmuls truncate f32
+        # operands to bf16, which can flip near-tie argmax preds in the
+        # teacher-forced hypotheses). ICD_TPU_BERT_DEVICE=1 opts into
+        # the fast device path when bit-parity doesn't matter.
         bert_embedder = BertCaptionEmbedder(
-            vocab, device=not _os.environ.get("ICD_TPU_BERT_HOST"))
+            vocab, device=bool(_os.environ.get("ICD_TPU_BERT_DEVICE")))
 
     batch_size = snap_eval_batch(len(dataset), batch_size)
     loader = DataLoader(

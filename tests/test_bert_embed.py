@@ -132,3 +132,28 @@ def test_batched_matches_single(tiny_bert, caption_vocab):
         single = BertCaptionEmbedder(
             v, model=model, tokenizer=tokenizer)(caps[i: i + 1])
         np.testing.assert_allclose(batched[i], single[0], atol=1e-5)
+
+
+@pytest.mark.parametrize("device", [False, True])
+def test_eviction_keeps_current_batch(tiny_bert, caption_vocab, device):
+    """Overflow eviction must not drop entries the CURRENT batch needs:
+    a batch mixing an already-cached caption with enough new ones to
+    overflow used to clear() the cached key and KeyError on the final
+    per-key lookup."""
+    model, tokenizer = tiny_bert
+    v = caption_vocab
+    a = [v("<start>"), v("a"), v("<end>")]
+    b = [v("<start>"), v("man"), v("<end>")]
+    c = [v("<start>"), v("beach"), v("<end>")]
+    d = [v("<start>"), v("riding"), v("<end>")]
+    embedder = BertCaptionEmbedder(v, model=model, tokenizer=tokenizer,
+                                   cache_size=3, device=device)
+    first = embedder(np.asarray([a, b], np.int32))
+    # a cached; adding c,d overflows 2+2 > 3 while a is still needed.
+    mixed = embedder(np.asarray([a, c, d], np.int32))
+    np.testing.assert_allclose(np.asarray(mixed[0]),
+                               np.asarray(first[0]), atol=1e-5)
+    # The working set survived the reset.
+    out = embedder(np.asarray([a, c], np.int32))
+    np.testing.assert_allclose(np.asarray(out[1]),
+                               np.asarray(mixed[1]), atol=1e-5)

@@ -114,3 +114,29 @@ def test_embedder_device_equals_host(torch_bert):
     dev = BertCaptionEmbedder(v, model=torch_bert, tokenizer=tokenizer,
                               device=True)
     np.testing.assert_allclose(dev(captions), host(captions), atol=3e-5)
+
+
+def test_aligned_n_words_bucketed_no_recompile(torch_bert):
+    """aligned() buckets n_words: nearby caption lengths must reuse one
+    compiled program (raw per-batch maxima would recompile the whole
+    encoder per distinct length), and the sliced output must equal the
+    segment-sum at the exact length."""
+    jb = JaxBert(torch_bert, bucket=16)
+    rng = np.random.default_rng(3)
+    ids = rng.integers(0, 43, (2, 9)).astype(np.int32)
+    attn = np.ones((2, 9), np.int32)
+    seg = np.tile(np.arange(9, dtype=np.int32), (2, 1))
+
+    outs = {}
+    for n_words in (9, 10, 12):
+        outs[n_words] = np.asarray(jb.aligned(ids, attn, seg, n_words))
+        assert outs[n_words].shape == (2, n_words, 24)
+    assert jb._fwd_aligned._cache_size() == 1
+    # Shared rows identical across bucketed calls; rows past the pieces
+    # are zero (no segment routes there).
+    np.testing.assert_array_equal(outs[12][:, :9], outs[9])
+    np.testing.assert_array_equal(outs[12][:, 9:], 0.0)
+    # Sliced output matches the torch-side expectation: per-piece
+    # identity segments make aligned == hidden states.
+    ref = _torch_hidden(torch_bert, ids, attn)
+    np.testing.assert_allclose(outs[9], ref, atol=2e-5)

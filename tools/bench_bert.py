@@ -105,7 +105,10 @@ def main():
     att_step = jax.jit(ta.make_train_step(
         mask, tx, alpha_c=1.0, dropout_rate=0.5))
 
-    rng = np.random.default_rng(0)
+    # Per-run random inputs: identical (executable, args) dispatches can
+    # be replay-served across PROCESSES (CLAUDE.md), so a re-run with
+    # fixed seeds would read ~0 ms device steps.
+    rng = np.random.default_rng(int.from_bytes(os.urandom(4), "little"))
     host_batches = []
     for i in range(steps):
         imgs = rng.integers(0, 255, (BATCH, 224, 224, 3), np.uint8)
@@ -115,7 +118,8 @@ def main():
              np.full((BATCH, 1), len(vocab) - 2)], axis=1).astype(np.int32)
         host_batches.append({"imgs": imgs, "captions": caps})
     decode_lengths = jnp.full((BATCH,), CAP_LEN - 1, jnp.int32)
-    key = jax.random.PRNGKey(7)
+    key = jax.random.PRNGKey(
+        int.from_bytes(os.urandom(2), "little"))
 
     def run_step(state, b, emb):
         t, f, o = state
@@ -130,17 +134,24 @@ def main():
     state = (trainable, frozen, opt_state)
     state, _ = run_step(state, host_batches[0], emb0)
 
-    # Host BERT alone.
+    # Host BERT alone. Clear the cache first: warmup left batch 0's
+    # embeddings resident, which would make the first iteration free
+    # and understate the per-batch cost by 1/steps.
+    embedder._cache.clear()
     t0 = time.perf_counter()
     for b in host_batches:
         embedder(b["captions"])
     bert_t = (time.perf_counter() - t0) / steps
 
-    # Device (JaxBert) embedder alone.
-    embedder_dev(host_batches[0]["captions"])  # compile
+    # Device (JaxBert) embedder alone. The device path returns a device
+    # array with NO fetch, and block_until_ready does not wait for
+    # remote execution (CLAUDE.md) — fetch one element per call to time
+    # dispatch + execution without shipping the (B, T, 768) result.
+    np.asarray(embedder_dev(host_batches[0]["captions"])[0, 0, 0])
+    embedder_dev._cache.clear()
     t0 = time.perf_counter()
     for b in host_batches:
-        embedder_dev(b["captions"])
+        np.asarray(embedder_dev(b["captions"])[0, 0, 0])
     bert_dev_t = (time.perf_counter() - t0) / steps
 
     # Device step alone (reusing one embedding).
@@ -150,6 +161,7 @@ def main():
     step_t = (time.perf_counter() - t0) / steps
 
     # Inline (reference-style critical path).
+    embedder._cache.clear()
     t0 = time.perf_counter()
     for b in host_batches:
         state, _ = run_step(state, b, embedder(b["captions"]))
@@ -163,6 +175,7 @@ def main():
             b["embeddings"] = emb(b["captions"])
             yield b
 
+    embedder._cache.clear()
     t0 = time.perf_counter()
     for b in device_prefetch(with_bert(iter(host_batches), embedder),
                              size=2):
@@ -170,6 +183,7 @@ def main():
     overlap_t = (time.perf_counter() - t0) / steps
 
     # Overlapped with the device-resident BERT (the train-loop default).
+    embedder_dev._cache.clear()
     t0 = time.perf_counter()
     for b in device_prefetch(with_bert(iter(host_batches), embedder_dev),
                              size=2):

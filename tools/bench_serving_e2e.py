@@ -40,7 +40,11 @@ RESNET101_GFLOP = 15.6  # 2 * 7.8 GMAC forward at 224x224
 V5E_INT8_TOPS = 394.0
 
 
-def _make_jpegs(n, seed=0):
+def _make_jpegs(n, seed=None):
+    # Per-run random by default: every timed dispatch's args derive from
+    # these bytes, and identical (executable, args) calls can be served
+    # from the tunnel's replay cache ACROSS PROCESSES (CLAUDE.md) — a
+    # fixed seed would make a second run of this bench read ~0 ms.
     from PIL import Image
 
     rng = np.random.default_rng(seed)

@@ -84,9 +84,14 @@ def main():
             if bert_embedder is None:
                 from icd_tpu.models.bert_embed import BertCaptionEmbedder
 
+                # Host torch forward by default, like evaluate(): the
+                # demo reproduces the notebook's captions, and device
+                # BERT's bf16-truncated matmuls can flip near-tie
+                # argmaxes. ICD_TPU_BERT_DEVICE=1 opts into the device
+                # path.
                 bert_embedder = BertCaptionEmbedder(
                     dataset.vocab,
-                    device=not os.environ.get("ICD_TPU_BERT_HOST"))
+                    device=bool(os.environ.get("ICD_TPU_BERT_DEVICE")))
             embedder = bert_embedder
         models.append((name, mtype, enc, dec, embedder))
     rng = np.random.default_rng(args.seed)
