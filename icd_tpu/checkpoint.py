@@ -11,6 +11,7 @@ device-agnostic and robust across library versions).
 (checkpoint.py:36).
 """
 
+import atexit
 import os
 import pickle
 
@@ -25,16 +26,51 @@ def _to_numpy(tree):
         lambda x: np.asarray(x) if hasattr(x, "shape") else x, tree)
 
 
+_async_pool = None
+_async_futures = []
+
+
+def _get_async_pool():
+    """Single background writer: keeps per-epoch saves FIFO-ordered and
+    is flushed at interpreter exit so no checkpoint is lost."""
+    global _async_pool
+    if _async_pool is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _async_pool = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="icd-ckpt")
+        atexit.register(_async_pool.shutdown, wait=True)
+    return _async_pool
+
+
+def wait_pending_saves():
+    """Block until all async checkpoint writes have finished, re-raising
+    the first writer failure (a silently dropped checkpoint would
+    surface only at resume time otherwise). Call before loading a
+    just-saved checkpoint in-process; interpreter exit flushes too."""
+    pending, _async_futures[:] = _async_futures[:], []
+    for f in pending:
+        f.result()
+
+
 def save_checkpoint(args, epoch, encoder, decoder, encoder_optimizer,
                     decoder_optimizer, metrics, verbose=True, extra=None):
-    """Save one epoch's training state (reference: checkpoint.py:39-62)."""
+    """Save one epoch's training state (reference: checkpoint.py:39-62).
+
+    ``ICD_TPU_CKPT_ASYNC=1`` moves the device→host fetch and pickle to a
+    background writer thread so checkpoint I/O overlaps the next epoch's
+    steps. Safe without copies: JAX arrays are immutable, and the
+    optimizer update builds NEW arrays, so the snapshot the writer holds
+    can never be mutated by continued training (it briefly keeps the old
+    params' HBM alive, ~350 MB worst case here). Writes stay FIFO via a
+    single worker; ``wait_pending_saves`` or interpreter exit flushes."""
     state = {
         "epoch": epoch,
         "metrics": metrics,
-        "encoder": _to_numpy(encoder),
-        "decoder": _to_numpy(decoder),
-        "encoder_optimizer": _to_numpy(encoder_optimizer),
-        "decoder_optimizer": _to_numpy(decoder_optimizer),
+        "encoder": encoder,
+        "decoder": decoder,
+        "encoder_optimizer": encoder_optimizer,
+        "decoder_optimizer": decoder_optimizer,
         "config": {
             "model_name": getattr(args, "model_name", None),
             "model": getattr(args, "model", getattr(args, "model_type", None)),
@@ -51,10 +87,20 @@ def save_checkpoint(args, epoch, encoder, decoder, encoder_optimizer,
     os.makedirs(PathConfig.checkpoints_dir, exist_ok=True)
     path = os.path.join(PathConfig.checkpoints_dir,
                         "{}_{}.ckpt".format(args.model_name, epoch))
-    with open(path, "wb") as f:
-        pickle.dump(state, f)
-    if verbose:
-        print("Saved checkpoint to {}".format(path))
+
+    def _write():
+        for k in ("encoder", "decoder", "encoder_optimizer",
+                  "decoder_optimizer"):
+            state[k] = _to_numpy(state[k])
+        with open(path, "wb") as f:
+            pickle.dump(state, f)
+        if verbose:
+            print("Saved checkpoint to {}".format(path))
+
+    if os.environ.get("ICD_TPU_CKPT_ASYNC"):
+        _async_futures.append(_get_async_pool().submit(_write))
+    else:
+        _write()
     return path
 
 

@@ -22,7 +22,8 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..checkpoint import load_checkpoint, save_checkpoint, unpack_checkpoint
+from ..checkpoint import (load_checkpoint, save_checkpoint,
+                          unpack_checkpoint, wait_pending_saves)
 from ..data.dataset import COCODataset
 from ..data.pipeline import (
     DataLoader, device_prefetch, pad_batch_to, snap_eval_batch)
@@ -279,6 +280,8 @@ def train(args, mesh=None):
                 args, epoch, full["encoder"], full["decoder"],
                 None, opt_state, metrics)
 
+    # Flush ICD_TPU_CKPT_ASYNC writes so callers can load immediately.
+    wait_pending_saves()
     print("Model {} finished training for {} epochs.".format(
         args.model_name, args.epochs))
     return merge(trainable, frozen)

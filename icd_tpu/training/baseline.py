@@ -28,7 +28,8 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..checkpoint import load_checkpoint, save_checkpoint, unpack_checkpoint
+from ..checkpoint import (load_checkpoint, save_checkpoint,
+                          unpack_checkpoint, wait_pending_saves)
 from ..data.dataset import COCODataset
 from ..data.pipeline import (
     DataLoader, device_prefetch, pad_batch_to, snap_eval_batch)
@@ -313,6 +314,8 @@ def train(args, mesh=None):
                 args, epoch, full["encoder"], full["decoder"],
                 None, opt_state, metrics)
 
+    # Flush ICD_TPU_CKPT_ASYNC writes so callers can load immediately.
+    wait_pending_saves()
     train_time = time.time() - train_start
     print("Model {} finished training for {} epochs in {:.4f} seconds."
           .format(args.model_name, args.epochs, train_time))

@@ -111,3 +111,45 @@ def test_load_reference_attention_pth_tar(use_coco_root):
                         "fc", "embedding"}
     np.testing.assert_allclose(
         dec["fc"]["w"], decoder.fc.weight.detach().numpy().T, atol=1e-7)
+
+
+def test_async_checkpoint_save_roundtrip(use_coco_root, monkeypatch):
+    """ICD_TPU_CKPT_ASYNC=1 defers fetch+pickle to a background writer;
+    wait_pending_saves() flushes (and re-raises writer failures), after
+    which the checkpoint loads identically to a synchronous save."""
+    import jax.numpy as jnp
+
+    from icd_tpu.checkpoint import save_checkpoint, wait_pending_saves
+
+    class _Args:
+        model_name = "asyncsave"
+        model = "baseline"
+        embed_size = 4
+        use_bert = False
+
+    enc = {"w": jnp.arange(6, dtype=jnp.float32).reshape(2, 3)}
+    dec = {"b": jnp.ones((3,), jnp.float32)}
+    monkeypatch.setenv("ICD_TPU_CKPT_ASYNC", "1")
+    path = save_checkpoint(_Args(), 0, enc, dec, None, None,
+                           {"epoch_losses": [[1.0]]}, verbose=False)
+    wait_pending_saves()
+    assert os.path.exists(path)
+    chkpt = load_checkpoint(name="asyncsave_0.ckpt", verbose=False)
+    epoch, enc2, dec2, _, _, metrics = unpack_checkpoint(chkpt)
+    assert epoch == 0 and metrics == {"epoch_losses": [[1.0]]}
+    np.testing.assert_array_equal(enc2["w"], np.asarray(enc["w"]))
+    np.testing.assert_array_equal(dec2["b"], np.asarray(dec["b"]))
+    assert isinstance(enc2["w"], np.ndarray)
+
+    # Writer failures surface at the flush, not silently.
+    import icd_tpu.checkpoint as ck
+
+    monkeypatch.setattr(ck.PathConfig, "checkpoints_dir",
+                        os.path.join(use_coco_root, "nope", "deep",
+                                     "missing"))
+    monkeypatch.setattr(ck.os, "makedirs", lambda *a, **k: None)
+    save_checkpoint(_Args(), 1, enc, dec, None, None, {}, verbose=False)
+    import pytest
+
+    with pytest.raises(OSError):
+        wait_pending_saves()
