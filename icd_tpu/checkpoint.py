@@ -92,8 +92,13 @@ def save_checkpoint(args, epoch, encoder, decoder, encoder_optimizer,
         for k in ("encoder", "decoder", "encoder_optimizer",
                   "decoder_optimizer"):
             state[k] = _to_numpy(state[k])
-        with open(path, "wb") as f:
+        # Atomic publish: a kill mid-pickle must never leave a truncated
+        # file under the checkpoint's real name (resume would crash on
+        # it); os.replace is atomic on the same filesystem.
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
             pickle.dump(state, f)
+        os.replace(tmp, path)
         if verbose:
             print("Saved checkpoint to {}".format(path))
 

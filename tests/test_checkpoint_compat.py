@@ -153,3 +153,38 @@ def test_async_checkpoint_save_roundtrip(use_coco_root, monkeypatch):
 
     with pytest.raises(OSError):
         wait_pending_saves()
+
+
+def test_checkpoint_write_is_atomic(use_coco_root, monkeypatch):
+    """Saves publish via temp + os.replace so a crash mid-pickle never
+    leaves a truncated file under the checkpoint's real name."""
+    import pickle as _pickle
+
+    import icd_tpu.checkpoint as ck
+
+    class _Args:
+        model_name = "atomic"
+        model = "baseline"
+
+    calls = {}
+    real_dump = _pickle.dump
+
+    def exploding_dump(obj, f, *a, **k):
+        calls["path"] = f.name
+        real_dump(obj, f, *a, **k)
+        raise RuntimeError("die mid-write")
+
+    monkeypatch.setattr(ck.pickle, "dump", exploding_dump)
+    import pytest
+
+    with pytest.raises(RuntimeError):
+        ck.save_checkpoint(_Args(), 0, {}, {}, None, None, {},
+                           verbose=False)
+    final = os.path.join(use_coco_root, "checkpoints", "atomic_0.ckpt")
+    assert calls["path"].endswith(".tmp")
+    assert not os.path.exists(final)
+
+    monkeypatch.setattr(ck.pickle, "dump", real_dump)
+    ck.save_checkpoint(_Args(), 0, {}, {}, None, None, {}, verbose=False)
+    assert os.path.exists(final)
+    assert not os.path.exists(final + ".tmp")
