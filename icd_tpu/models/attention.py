@@ -221,9 +221,12 @@ def attention_decoder_forward(decoder_params, encoder_out, captions,
         alpha = jnp.where(active, alpha, 0.0)
         return (h, c), (h, alpha)
 
-    # scan unroll measured a regression here (f32 step 12.5 -> 14.5 ms
-    # at unroll=2, tools/bench_train.py --attention) — the body is
-    # fusion-bound, not loop-overhead-bound; keep unroll=1.
+    # Two measured dead ends on this scan (tools/bench_train.py
+    # --attention, f32 step): unroll=2 regresses 12.5 -> 14.5 ms (the
+    # body is fusion-bound, not loop-overhead-bound), and
+    # jax.checkpoint(body) regresses 12.5 -> 14.4 ms (recomputing the
+    # (B, P, A) attention activation in the backward costs more than
+    # the saved HBM residual traffic). Keep the plain scan.
     (_, _), (hs, alphas) = jax.lax.scan(
         body, (h, c), (emb_x_tm, t_steps))
 
