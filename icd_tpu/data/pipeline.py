@@ -176,6 +176,14 @@ def device_prefetch(iterator, size=2, sharding=None):
             if isinstance(x, np.ndarray):
                 s = sharding(x) if callable(sharding) else sharding
                 return jax.device_put(x, s)
+            if isinstance(x, jax.Array) and sharding is not None:
+                # Device-resident producers (e.g. the device BERT
+                # embedder) yield jax arrays on the default device;
+                # reshard them here on the producer thread so the train
+                # step gets the same mesh layout as the numpy leaves
+                # instead of paying an XLA-inserted reshard every step.
+                s = sharding(x) if callable(sharding) else sharding
+                return jax.device_put(x, s)
             if isinstance(x, dict):
                 return type(x)({k: leaf(v) for k, v in x.items()})
             return x

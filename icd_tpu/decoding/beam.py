@@ -186,11 +186,16 @@ def beam_search(decoder_params, encoder_out, beam_size, start_id, end_id,
         best_len = jnp.where(better, step + 1, s["best_len"])
         found = s["found"] | jnp.any(finishing)
 
-        # Pack survivors (valid, not finishing) into the leading slots,
-        # ordered by score like the reference's index lists.
+        # Pack survivors (valid, not finishing) into the leading slots in
+        # their TOP-K RANK order, exactly the reference's index lists
+        # (gen_captions.py:103-116 gathers by incomplete_inds, which
+        # preserves rank order). Rank order equals descending score with
+        # ties kept in rank order; sorting by score and reversing would
+        # flip equal-scored beams (argsort is stable ascending, so the
+        # [::-1] flips ties) and diverge from the reference on exact-tie
+        # checkpoints. Rank keys are unique, so this argsort is exact.
         survivor = sel_valid & ~finishing
-        order = jnp.argsort(
-            jnp.where(survivor, sel_scores, NEG_INF))[::-1]
+        order = jnp.argsort(jnp.where(survivor, slot_ids, k + slot_ids))
         sel_parents = prev_idx[order]
         alpha_hist = jax.lax.dynamic_update_index_in_dim(
             s["alpha_hist"], alpha[sel_parents].astype(jnp.float32),

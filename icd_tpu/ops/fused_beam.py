@@ -42,8 +42,8 @@ for ~30 fusions. This kernel runs ALL decode steps inside one
    like beam.py's append-only history design
 
 Semantics mirror beam.py line by line (candidate masking constants,
-step-1 row rule, survivor packing order with argsort's
-(value desc, index desc) tie order, running-best completion tracking,
+step-1 row rule, survivor packing in top-k rank order like the
+reference's incomplete_inds gather, running-best completion tracking,
 51-step budget). Numerics differ from the XLA path only in
 accumulation order (f32 state in-kernel), so near-tie beams can
 occasionally diverge; the f32 interpret-mode differential test pins
@@ -328,19 +328,22 @@ def _kernel(att_enc_ref, h0_ref, c0_ref, emb_ref, wd_ref, bd_ref, wf_ref,
             better, parent_best.astype(jnp.int32), best_parent_ref[:])
         found_ref[:] = found_ref[:] | any_fin.astype(jnp.int32)
 
-        # -- survivor packing: argsort desc (ties: desc index) ----------
+        # -- survivor packing: top-k RANK order, like beam.py and the
+        # reference's incomplete_inds gather (survivors first in rank
+        # order, then non-survivors). Rank keys are unique per lane, so
+        # iterative min selection is exact with no tie handling.
         survivor = sel_valid & jnp.logical_not(finishing)
-        vtmp = jnp.where(survivor, sel_scores,
-                         jnp.where(lane_k < k, NEG_INF, _DEAD))
+        kf = jnp.float32(k)
+        keyv = jnp.where(
+            survivor, lane_k.astype(f32),
+            jnp.where(lane_k < k, lane_k.astype(f32) + kf, -_DEAD))
         order = jnp.zeros((b, kp), f32)
         for j in range(k):
-            mj = jnp.max(vtmp, axis=1, keepdims=True)
-            idx = jnp.max(jnp.where(vtmp == mj, lane_k, -1), axis=1,
-                          keepdims=True)  # (B, 1) ties -> max index
+            mj = jnp.min(keyv, axis=1, keepdims=True)  # (B, 1), unique
+            lanej = jnp.where(mj >= kf, mj - kf, mj)
             order = jnp.where(lane_k == j,
-                              jnp.broadcast_to(idx.astype(f32), (b, kp)),
-                              order)
-            vtmp = jnp.where(lane_k == idx, _DEAD, vtmp)
+                              jnp.broadcast_to(lanej, (b, kp)), order)
+            keyv = jnp.where(keyv == mj, -_DEAD, keyv)
 
         def gather_lanes(x):  # x (B, kp); y[:, j] = x[b, order[b, j]]
             y = jnp.zeros((b, kp), f32)

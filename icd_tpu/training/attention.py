@@ -35,7 +35,9 @@ from ..models.encoder import (
     encoder_attention_forward, encoder_attention_forward_int8,
     init_encoder_attention, trainable_mask)
 from ..parallel.mesh import batch_sharding, make_data_mesh, replicated
-from ..training.baseline import make_optimizer_for, pretrained_resnet_or_none
+from ..training.baseline import (
+    _decoder_trainable_mask, make_optimizer_for,
+    pretrained_resnet_or_none)
 from ..training.common import (
     cast_floating, doubly_stochastic_regularizer, merge, merge_bn_stats,
     partition)
@@ -63,13 +65,6 @@ def build_attention(args, vocab, rng):
 
         decoder = load_pretrained_embeddings(decoder, load_glove_vectors())
     return encoder, decoder
-
-
-def _decoder_trainable_mask(decoder_params, fine_tune_embedding):
-    mask = jax.tree_util.tree_map(lambda _: True, decoder_params)
-    if not fine_tune_embedding:
-        mask["embedding"] = False
-    return mask
 
 
 def make_train_step(mask, tx, alpha_c, dropout_rate, compute_dtype=None,
@@ -235,9 +230,11 @@ def train(args, mesh=None):
                 # (attention.py:166-215, per-caption inside the train
                 # step). Attaching it to the batch stream BEFORE
                 # device_prefetch runs it on the prefetch producer
-                # thread, overlapping host BERT compute with the
-                # device step; the embeddings then ride the same
-                # sharded host->HBM transfer as the rest of the batch.
+                # thread, overlapping BERT compute with the device
+                # step; device_prefetch then lays the embeddings out
+                # on the mesh like the rest of the batch (host arrays
+                # via the sharded host->HBM transfer, device-BERT
+                # arrays via an off-critical-path reshard).
                 def _with_bert(it):
                     for b in it:
                         b["embeddings"] = bert_embedder(
