@@ -62,7 +62,7 @@ def _infer_depths(resnet_sd):
     return tuple(depths)
 
 
-def convert_encoder_state_dict(sd, embed_size=None):
+def convert_encoder_state_dict(sd):
     """Reference Encoder/EncoderAttention state dict -> our tree."""
     resnet_sd = _unwrap_sequential(sd)
     tree = {"resnet": resnet_from_torch(
@@ -72,7 +72,7 @@ def convert_encoder_state_dict(sd, embed_size=None):
     return tree
 
 
-def load_resnet101_pth(path, head=None):
+def load_resnet101_pth(path):
     """torchvision resnet101.pth -> backbone tree (classifier dropped)."""
     import torch
 

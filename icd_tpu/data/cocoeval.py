@@ -393,4 +393,7 @@ class COCOeval:
             ])
 
     def __str__(self):
+        # pycocotools quirk preserved (vendored cocoeval.py:438-439):
+        # returns None, so str()/print() raise TypeError after printing
+        # the summary as a side effect — callers use summarize().
         self.summarize()

@@ -173,15 +173,14 @@ def device_prefetch(iterator, size=2, sharding=None):
 
     def _put(batch):
         def leaf(x):
-            if isinstance(x, np.ndarray):
-                s = sharding(x) if callable(sharding) else sharding
-                return jax.device_put(x, s)
-            if isinstance(x, jax.Array) and sharding is not None:
-                # Device-resident producers (e.g. the device BERT
-                # embedder) yield jax arrays on the default device;
-                # reshard them here on the producer thread so the train
-                # step gets the same mesh layout as the numpy leaves
-                # instead of paying an XLA-inserted reshard every step.
+            # Device-resident producers (e.g. the device BERT embedder)
+            # yield jax arrays on the default device; reshard them here
+            # on the producer thread so the train step gets the same
+            # mesh layout as the numpy leaves instead of paying an
+            # XLA-inserted reshard every step (None sharding leaves
+            # already-placed jax arrays where they are).
+            if isinstance(x, np.ndarray) or (
+                    isinstance(x, jax.Array) and sharding is not None):
                 s = sharding(x) if callable(sharding) else sharding
                 return jax.device_put(x, s)
             if isinstance(x, dict):
@@ -192,10 +191,13 @@ def device_prefetch(iterator, size=2, sharding=None):
 
     q = queue.Queue(maxsize=size)
     _SENTINEL = object()
+    stop = threading.Event()
 
     def producer():
         try:
             for batch in iterator:
+                if stop.is_set():
+                    break
                 q.put(_put(batch))
             q.put(_SENTINEL)
         except BaseException as exc:  # propagate to the consumer
@@ -203,10 +205,22 @@ def device_prefetch(iterator, size=2, sharding=None):
 
     thread = threading.Thread(target=producer, daemon=True)
     thread.start()
-    while True:
-        item = q.get()
-        if item is _SENTINEL:
-            break
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        # Consumer abandoned the generator (error mid-epoch, partial
+        # consumption): unblock the producer and drain its queued
+        # device batches so they don't stay pinned in HBM for the
+        # process lifetime.
+        stop.set()
+        while thread.is_alive():
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                thread.join(0.01)

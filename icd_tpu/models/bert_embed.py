@@ -30,7 +30,18 @@ BERT_DIM = 768
 
 def piece_word_segments(words, pieces):
     """The alignment walk of ``align_pieces_to_words`` as indices only:
-    returns (len(pieces),) int32 with the word index each piece's
+
+    Degradation note (both walks here, kept in lockstep): if a word's
+    wordpieces never reconcatenate to the word (wordpiece NORMALIZES,
+    e.g. accent-stripped 'cafe' vs target 'café'), the walk consumes
+    all remaining pieces into that word and later words read zero rows.
+    The reference degrades differently — its walk never advances j on a
+    failed match and silently re-reads the same pieces for subsequent
+    words (attention.py:185-209) — i.e. both emit garbage for such
+    captions, in different shapes; COCO captions are effectively ASCII
+    so neither path is exercised in the published runs.
+
+    Returns (len(pieces),) int32 with the word index each piece's
     embedding is summed into, or -1 for pieces the walk never consumes.
     Used by the device-aligned path (segment-sum on TPU); kept in exact
     lockstep with the walk below (tested equivalent in

@@ -97,3 +97,35 @@ def test_use_glove_attention_driver(use_coco_root, tmp_path, monkeypatch):
         os.path.join(glove_dir, "glove_vectors.pkl"))
     np.testing.assert_allclose(
         np.asarray(params["decoder"]["embedding"]), glove, atol=1e-6)
+
+
+def test_reference_bug_compat_all_random(use_coco_root, tmp_path):
+    """ICD_TPU_GLOVE_REFBUG reproduces the reference's broken id-keyed
+    lookup (embed.py:51-56 iterates the i2w dict's int keys): every row
+    random, zero words found, regardless of GloVe coverage."""
+    vocab = load_vocab()
+    known = [vocab.i2w[i] for i in range(len(vocab))]  # full coverage
+    txt = str(tmp_path / "glove.6B.300d.txt")
+    _write_glove_txt(txt, known)
+    out = str(tmp_path / "gv.pkl")
+
+    rng = np.random.default_rng(3)
+    compat = generate_glove_vectors(
+        vocab, glove_txt=txt, out_path=out, rng=rng,
+        reference_bug_compat=True)
+    glove = {}
+    with open(txt, "rb") as f:
+        for raw in f:
+            line = raw.decode().split()
+            glove[line[0]] = np.asarray(line[1:], np.float64)
+    # No row matches its GloVe vector: the reference never finds a word.
+    for i in range(len(vocab)):
+        assert not np.allclose(compat[i], glove[vocab.i2w[i]])
+
+    # Default mode finds every covered word.
+    fixed = generate_glove_vectors(
+        vocab, glove_txt=txt, out_path=out,
+        rng=np.random.default_rng(3), reference_bug_compat=False)
+    for i in range(len(vocab)):
+        np.testing.assert_allclose(fixed[i], glove[vocab.i2w[i]],
+                                   atol=1e-4)
