@@ -39,9 +39,26 @@ VOCAB = 10000
 REPEATS = 10
 TRIALS = 3
 BASELINE_CAPTIONS_PER_SEC = 246.0
+MAX_ATTEMPTS = 3  # re-exec retries when the axon tunnel is transiently down
+
+# MFU accounting: the encoder dominates the pipeline FLOPs (NOTES.md
+# serving decomposition: decode is ~0.4 ms of the 7.5 ms batch).
+RESNET101_GFLOP = 15.6  # 2 * 7.8 GMAC forward at 224x224, per image
+V5E_INT8_TOPS = 394.0
+V5E_BF16_TFLOPS = 197.0
 
 
 def main():
+    # Fault injection for testing the retry/error plumbing without a
+    # real tunnel outage: ICD_TPU_BENCH_FAULT=N raises a synthetic
+    # UNAVAILABLE on attempts <= N.
+    fault_until = int(os.environ.get("ICD_TPU_BENCH_FAULT", "0"))
+    attempt = int(os.environ.get("ICD_TPU_BENCH_ATTEMPT", "1"))
+    if attempt <= fault_until:
+        raise RuntimeError(
+            "Unable to initialize backend 'axon': UNAVAILABLE: "
+            "injected fault (attempt {})".format(attempt))
+
     import jax
     import jax.numpy as jnp
 
@@ -105,14 +122,87 @@ def main():
     step = (min(times) - roundtrip) / REPEATS
     value = BATCH / step
 
+    # Model FLOPs utilization vs the chip's marketed peak for the
+    # arithmetic the path actually runs (int8 conv trunk vs bf16).
+    peak_gflop_s = (V5E_INT8_TOPS if label == "int8"
+                    else V5E_BF16_TFLOPS) * 1e3
+    mfu = value * RESNET101_GFLOP / peak_gflop_s
+
     print(json.dumps({
         "metric": "captions/sec/chip ({} encode + greedy decode, "
                   "batch 64)".format(label),
         "value": round(value, 2),
         "unit": "captions/s",
         "vs_baseline": round(value / BASELINE_CAPTIONS_PER_SEC, 3),
+        "mfu": round(mfu, 4),
+        "mfu_peak": ("v5e int8 394 TOPS" if label == "int8"
+                     else "v5e bf16 197 TFLOPS"),
     }))
 
 
+def _is_transient(exc) -> bool:
+    """Tunnel/backend failures worth a fresh-process retry (the round-2
+    driver run died on exactly this: 'Unable to initialize backend
+    "axon": UNAVAILABLE', BENCH_r02.json)."""
+    msg = "{}: {}".format(type(exc).__name__, exc)
+    return any(s in msg for s in (
+        "UNAVAILABLE", "Unable to initialize backend",
+        "DEADLINE_EXCEEDED", "failed to connect"))
+
+
+def _arm_watchdog():
+    """Bound a tunnel hang: the axon client retries connection failures
+    internally forever (measured: a refused endpoint never raises), which
+    would otherwise leave the driver a timeout with no JSON. At the
+    deadline, emit the structured error line and hard-exit."""
+    import threading
+
+    deadline = float(os.environ.get("ICD_TPU_BENCH_DEADLINE", "900"))
+
+    def fire():
+        print(json.dumps({
+            "metric": "captions/sec/chip (encode + greedy decode, "
+                      "batch 64)",
+            "value": None,
+            "unit": "captions/s",
+            "vs_baseline": None,
+            "error": "watchdog: bench exceeded {}s deadline (TPU tunnel "
+                     "hang?)".format(int(deadline)),
+        }), flush=True)
+        os._exit(1)
+
+    t = threading.Timer(deadline, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 if __name__ == "__main__":
-    main()
+    _watchdog = _arm_watchdog()
+    try:
+        main()
+        _watchdog.cancel()
+    except BaseException as e:  # noqa: BLE001 — must always emit JSON
+        if isinstance(e, (KeyboardInterrupt, SystemExit)):
+            raise
+        attempt = int(os.environ.get("ICD_TPU_BENCH_ATTEMPT", "1"))
+        if _is_transient(e) and attempt < MAX_ATTEMPTS:
+            print("bench.py attempt {}/{} failed ({}); retrying in a "
+                  "fresh process".format(attempt, MAX_ATTEMPTS,
+                                         type(e).__name__),
+                  file=sys.stderr, flush=True)
+            time.sleep(10 * attempt)
+            env = dict(os.environ, ICD_TPU_BENCH_ATTEMPT=str(attempt + 1))
+            os.execve(sys.executable, [sys.executable] + sys.argv, env)
+        # Final failure: still print ONE parseable JSON line so the
+        # driver's `parsed` field records the reason, never null.
+        print(json.dumps({
+            "metric": "captions/sec/chip (encode + greedy decode, "
+                      "batch 64)",
+            "value": None,
+            "unit": "captions/s",
+            "vs_baseline": None,
+            "error": "{}: {}".format(type(e).__name__, e)[:500],
+            "attempts": attempt,
+        }))
+        sys.exit(1)
