@@ -132,10 +132,7 @@ def _build_torchvision_stub():
     models_mod.ResNet = ResNet
     models_mod.resnet101 = resnet101
 
-    transforms_mod = types.ModuleType("torchvision.transforms")
-    for name in ("Compose", "Resize", "ToTensor", "Normalize"):
-        cls = type(name, (), {"__module__": "torchvision.transforms"})
-        setattr(transforms_mod, name, cls)
+    transforms_mod = _build_transforms_module()
 
     tv = types.ModuleType("torchvision")
     tv.__is_icd_tpu_shim__ = True
@@ -145,6 +142,70 @@ def _build_torchvision_stub():
             "torchvision.models": models_mod,
             "torchvision.models.resnet": resnet_mod,
             "torchvision.transforms": transforms_mod}
+
+
+def _build_transforms_module():
+    """Functional Compose/Resize/ToTensor/Normalize with torchvision's
+    PIL semantics (reference drivers: models/baseline.py:123-128,
+    models/attention.py:296-301). These are real implementations — the
+    oracle harness (tools/ref_oracle.py) runs the reference train/eval
+    code under this shim, so the transforms must transform, not just
+    unpickle. Resize matches torchvision's PIL path: (h, w) size tuple,
+    bilinear resample; ToTensor is HWC uint8 -> CHW float32 / 255;
+    Normalize is per-channel (x - mean) / std."""
+    import numpy as np
+    import torch
+    from PIL import Image
+
+    class Compose:
+        def __init__(self, transforms):
+            self.transforms = list(transforms)
+
+        def __call__(self, img):
+            for t in self.transforms:
+                img = t(img)
+            return img
+
+    class Resize:
+        def __init__(self, size, interpolation=Image.BILINEAR):
+            self.size = size
+            self.interpolation = interpolation
+
+        def __call__(self, img):
+            if isinstance(self.size, int):
+                w, h = img.size
+                short, long = (w, h) if w <= h else (h, w)
+                new_short = self.size
+                new_long = int(round(self.size * long / short))
+                nw, nh = ((new_short, new_long) if w <= h
+                          else (new_long, new_short))
+            else:
+                nh, nw = self.size  # torchvision order is (h, w)
+            return img.resize((nw, nh), self.interpolation)
+
+    class ToTensor:
+        def __call__(self, img):
+            arr = np.asarray(img, dtype=np.uint8)
+            if arr.ndim == 2:
+                arr = arr[:, :, None]
+            t = torch.from_numpy(arr.transpose(2, 0, 1).copy())
+            return t.to(torch.float32).div(255)
+
+    class Normalize:
+        def __init__(self, mean, std):
+            self.mean = mean
+            self.std = std
+
+        def __call__(self, t):
+            mean = torch.as_tensor(self.mean, dtype=t.dtype)
+            std = torch.as_tensor(self.std, dtype=t.dtype)
+            return (t - mean[:, None, None]) / std[:, None, None]
+
+    transforms_mod = types.ModuleType("torchvision.transforms")
+    for cls in (Compose, Resize, ToTensor, Normalize):
+        cls.__module__ = "torchvision.transforms"
+        setattr(transforms_mod, cls.__name__, cls)
+    return transforms_mod
 
 
 def _build_bert_stub():

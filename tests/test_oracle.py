@@ -1,0 +1,76 @@
+"""Reference-as-oracle parity: run the ACTUAL reference torch code
+(train + eval) on the synthetic fixture, then reproduce its eval_data
+JSON with icd_tpu on the converted checkpoint.
+
+This is the end-to-end weld over the per-component differentials: the
+reference's own driver code (reference: train.py:11-79, eval.py:21-45,
+checkpoint.py:39-62) produces a genuine whole-module ``.pth.tar`` and a
+metric JSON; icd_tpu auto-converts the checkpoint and must reproduce
+the metric dict (BLEU/METEOR*/ROUGE/CIDEr near-exactly, per-sample
+losses to f32 tolerance). *METEOR on both sides is the deterministic
+protocol fake (tools/fake_meteor.py) since the jar is absent from the
+environment and from the reference snapshot itself.
+
+Orchestrated via subprocesses (tools/ref_oracle.py) so the reference's
+shims and our CPU-forced JAX runtime can't pollute the test process.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ORACLE = os.path.join(REPO, "tools", "ref_oracle.py")
+
+
+def _clean_env():
+    env = dict(os.environ)
+    # The conftest's ICD_TPU_ROOT (tiny COCO fixture) must not leak into
+    # the oracle subprocesses, which root themselves explicitly.
+    env.pop("ICD_TPU_ROOT", None)
+    return env
+
+
+@pytest.fixture(scope="session")
+def oracle_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("oracle"))
+    subprocess.run(
+        [sys.executable, ORACLE, "prepare", root,
+         "--train", "48", "--val", "24"],
+        check=True, env=_clean_env(), cwd=REPO)
+    return root
+
+
+def _run_family(oracle_root, family):
+    proc = subprocess.run(
+        [sys.executable, ORACLE, "full", oracle_root,
+         "--families", family, "--epochs", "1", "--batch_size", "8"],
+        env=_clean_env(), cwd=REPO, capture_output=True, text=True)
+    assert proc.returncode == 0, (
+        "oracle loop failed:\n--- stdout:\n{}\n--- stderr:\n{}".format(
+            proc.stdout[-4000:], proc.stderr[-4000:]))
+    # The compare step prints one JSON report line per family.
+    reports = [json.loads(line) for line in proc.stdout.splitlines()
+               if line.startswith("{") and '"max_metric_diff"' in line]
+    assert len(reports) == 1, proc.stdout[-2000:]
+    rep = reports[0]
+    assert rep["ok"] and rep["n_losses"] == 24, rep
+    return rep
+
+
+def test_oracle_baseline(oracle_root):
+    _run_family(oracle_root, "baseline")
+
+
+def test_oracle_attention(oracle_root):
+    _run_family(oracle_root, "attention")
+
+
+def test_oracle_glove_attention(oracle_root):
+    """GloVe path with the reference's broken fill reproduced
+    (ICD_TPU_GLOVE_REFBUG=1 at prepare time — both sides consume the
+    identical pickle, icd_tpu/data/embed.py:9-17)."""
+    _run_family(oracle_root, "glove_attention")
