@@ -37,6 +37,12 @@ def main():
                              "batches.")
     args = parser.parse_args()
 
+    # Probe METEOR before the (expensive) eval loop: a missing jar/Java
+    # should fail NOW, not after the full teacher-forced decode.
+    from icd_tpu.metric import probe_meteor
+
+    probe_meteor()
+
     chkpt = load_checkpoint(args)
     _, encoder, decoder, _, _, _ = unpack_checkpoint(chkpt)
 

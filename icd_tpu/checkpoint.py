@@ -39,18 +39,49 @@ def _get_async_pool():
 
         _async_pool = ThreadPoolExecutor(
             max_workers=1, thread_name_prefix="icd-ckpt")
-        atexit.register(_async_pool.shutdown, wait=True)
+        # Surface writer failures even when the process never calls
+        # wait_pending_saves: a bare shutdown(wait=True) would wait for
+        # the writes but DISCARD their exceptions, letting a disk-full
+        # failure on the final epoch's save pass silently.
+        atexit.register(_drain_at_exit)
     return _async_pool
+
+
+def _drain_at_exit():
+    try:
+        wait_pending_saves()
+    except Exception as e:  # atexit: report, can't usefully re-raise
+        import sys
+
+        print("icd_tpu.checkpoint: async checkpoint write FAILED at "
+              "exit: {}".format(e), file=sys.stderr, flush=True)
+    finally:
+        _async_pool.shutdown(wait=True)
 
 
 def wait_pending_saves():
     """Block until all async checkpoint writes have finished, re-raising
     the first writer failure (a silently dropped checkpoint would
-    surface only at resume time otherwise). Call before loading a
-    just-saved checkpoint in-process; interpreter exit flushes too."""
+    surface only at resume time otherwise) after collecting every
+    pending result — later failures are not orphaned by an earlier one.
+    Call before loading a just-saved checkpoint in-process; interpreter
+    exit flushes (and reports failures on stderr) too."""
     pending, _async_futures[:] = _async_futures[:], []
+    first_error = None
     for f in pending:
-        f.result()
+        try:
+            f.result()
+        except Exception as e:
+            if first_error is None:
+                first_error = e
+            else:
+                import sys
+
+                print("icd_tpu.checkpoint: additional async write "
+                      "failure: {}".format(e), file=sys.stderr,
+                      flush=True)
+    if first_error is not None:
+        raise first_error
 
 
 def save_checkpoint(args, epoch, encoder, decoder, encoder_optimizer,

@@ -122,7 +122,16 @@ def convert_reference_checkpoint(path, reference_root="/root/reference",
     uninstalled dependencies (torchvision / pytorch_pretrained_bert /
     bcolz) — unpickling restores module state without running their
     constructors, so skeleton classes with the right qualified names
-    are sufficient."""
+    are sufficient.
+
+    .. warning:: TRUST BOUNDARY — only pass checkpoint files you trust.
+       The whole-module pickle format the reference uses is arbitrary
+       code execution by construction: ``torch.load(weights_only=False)``
+       runs whatever the pickle says, and the reference repo is put on
+       sys.path for its classes. This is inherent to consuming the
+       reference's ``.pth.tar`` artifacts, not an icd_tpu design choice
+       (our own checkpoints are plain numpy-pytree pickles saved and
+       loaded by this codebase)."""
     import torch
 
     from .compat import install_reference_shims

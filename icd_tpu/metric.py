@@ -12,6 +12,14 @@ import time
 from .eval_func import Bleu, Cider, Meteor, Rouge
 
 
+def probe_meteor():
+    """Fail fast on a missing METEOR runtime: constructing the scorer
+    raises when the jar/Java (or ICD_TPU_ALLOW_NO_METEOR) is absent —
+    probing at eval STARTUP avoids burning the entire decode loop only
+    to crash at scoring time (get_eval_score runs after the loop)."""
+    Meteor()
+
+
 def get_eval_score(references, hypotheses):
     """Score hypotheses against references.
 

@@ -317,7 +317,11 @@ def make_eval_step():
 
 def evaluate(args, encoder, decoder, batch_size=64, use_bert=False):
     """Teacher-forced eval (reference: models/attention.py:454-567),
-    batched on device, numerically equal to the reference batch-1 loop.
+    batched on device, equivalent to the reference batch-1 loop to f32
+    tolerance (the restructured decoder forward — pre-folded LSTM
+    biases, split emb/context input matmuls, packed h-matmul, post-scan
+    fc — changes f32 accumulation order, so equality is tolerance-level
+    rather than bitwise; tests pin the tolerance).
 
     ``use_bert`` makes teacher forcing use BERT caption embeddings, like
     the reference's pickled decoder module does automatically at eval

@@ -79,6 +79,16 @@ def build_vocab(threshold=6, coco=None):
 
 
 def save_vocab(vocab, path=None):
+    """Pickle the vocabulary (reference: vocabulary.py:63-65).
+
+    MIGRATION NOTE: vocabularies are tokenizer-dependent. icd_tpu's
+    default tokenizer is the built-in Treebank implementation
+    (icd_tpu/data/tokenize.py); a vocab.pkl built under real NLTK (the
+    reference, or ICD_TPU_USE_NLTK=1) can assign different ids on
+    inputs where the two disagree (punkt abbreviation-style sentence
+    boundaries). Keep using ICD_TPU_USE_NLTK=1 with such a vocab, or
+    rebuild it with ``init.py --vocab True``. (See README 'Tokenizer
+    migration'.)"""
     path = path or PathConfig.vocab_file
     with open(path, "wb") as f:
         pickle.dump(vocab, f)

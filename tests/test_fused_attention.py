@@ -33,7 +33,10 @@ def _inputs(b=8, p=196, d=64, a=32, h_dim=48, seed=0):
     return enc, att_enc, h, wd, bd, wf, bf, wg, bg
 
 
-@pytest.mark.parametrize("b,p", [(8, 196), (4, 100), (16, 256)])
+# Two shapes only (CI budget; the kernel is a kept-for-the-record
+# negative result, NOTES.md): the reference 196-pixel grid and one
+# non-dividing pixel count.
+@pytest.mark.parametrize("b,p", [(8, 196), (4, 100)])
 def test_kernel_matches_reference_interpret(monkeypatch, b, p):
     args = _inputs(b=b, p=p)
     ref_ctx, ref_alpha = fa.fused_attention_reference(*args)
