@@ -142,8 +142,21 @@ class BertCaptionEmbedder:
         return [(pieces, hidden[i, : len(pieces)])
                 for i, pieces in enumerate(piece_lists)]
 
-    def __call__(self, captions):
+    def __call__(self, captions, lengths=None):
         """captions: (B, T) int array -> (B, T+1, D) float32.
+
+        ``lengths`` (optional, (B,) true caption lengths) is the EVAL
+        parity switch: BERT is bidirectional, so the literal '<pad>'
+        words of a padded row perturb every other position's contextual
+        embedding. The reference TRAINS on padded rows (its collate pads
+        before _create_bert_embeddings, attention.py:242-247 on the
+        padded batch) but EVALS at batch 1 where no padding exists
+        (attention.py:473-494) — so training calls leave ``lengths``
+        unset (pads stay in the text, matching the reference), while the
+        batched eval passes true lengths so each sample's text is its
+        unpadded caption, exactly what the reference's batch-1 loop
+        embeds. Rows are zero-padded back to the uniform (T+1) window;
+        the eval step never reads past a sample's decode length.
 
         Device mode returns a DEVICE array: BERT forward AND the
         piece->word sum run in one jitted program, so only the tiny
@@ -154,7 +167,11 @@ class BertCaptionEmbedder:
         on-chip forward is ~ms, the strings are the recurring cost.
         """
         captions = np.asarray(captions)
-        keys = [tuple(int(t) for t in row) for row in captions]
+        if lengths is None:
+            keys = [tuple(int(t) for t in row) for row in captions]
+        else:
+            keys = [tuple(int(t) for t in row[: max(int(n), 1)])
+                    for row, n in zip(captions, lengths)]
         if self.jax_bert is not None:
             return self._call_device(captions, keys)
         missing = [k for k in dict.fromkeys(keys) if k not in self._cache]
@@ -168,7 +185,13 @@ class BertCaptionEmbedder:
                 aligned = align_pieces_to_words(words, pieces, embs)
                 fresh[k] = aligned.astype(np.float32)
             self._merge_cache(keys, fresh)
-        return np.stack([self._cache[k] for k in keys])
+        n_words = captions.shape[1] + 1  # + [CLS] row
+        first = self._cache[keys[0]]
+        out = np.zeros((len(keys), n_words, first.shape[-1]), np.float32)
+        for i, k in enumerate(keys):
+            row = self._cache[k]
+            out[i, : row.shape[0]] = row
+        return out
 
     def _merge_cache(self, keys, fresh):
         """Insert ``fresh`` with eviction that can never drop entries the

@@ -366,7 +366,12 @@ def evaluate(args, encoder, decoder, batch_size=64, use_bert=False):
             (batch["imgs"], batch["captions"], batch["caption_lengths"]),
             batch_size)
 
-        embeddings = (bert_embedder(np.asarray(captions))
+        # True per-sample lengths strip '<pad>' words from the BERT
+        # texts: the reference evals at batch 1 where no padding exists,
+        # and BERT is bidirectional, so pad words would perturb every
+        # real position's embedding (see BertCaptionEmbedder.__call__).
+        embeddings = (bert_embedder(np.asarray(captions),
+                                    lengths=np.asarray(lengths))
                       if bert_embedder is not None else None)
         per_sample, preds = step(
             encoder, decoder, imgs, captions,

@@ -135,6 +135,36 @@ def test_batched_matches_single(tiny_bert, caption_vocab):
 
 
 @pytest.mark.parametrize("device", [False, True])
+def test_lengths_strip_pads_like_batch1(tiny_bert, caption_vocab, device):
+    """Eval parity surface: passing ``lengths`` embeds each row's
+    UNPADDED caption — the reference evals at batch 1 where no padding
+    exists (reference: models/attention.py:473-494), and BERT is
+    bidirectional, so literal '<pad>' words would perturb every real
+    position's embedding. Rows come back zero-padded to the uniform
+    (T+1) window."""
+    model, tokenizer = tiny_bert
+    v = caption_vocab
+    caps = np.asarray([
+        [v("<start>"), v("a"), v("man"), v("riding"), v("<end>")],
+        [v("<start>"), v("beach"), v("<end>"), v("<pad>"), v("<pad>")],
+    ], np.int32)
+    lengths = np.asarray([5, 3])
+    emb = BertCaptionEmbedder(v, model=model, tokenizer=tokenizer,
+                              device=device)
+    out = np.asarray(emb(caps, lengths=lengths))
+    assert out.shape[:2] == (2, 6)
+    # Row 1 must equal embedding the unpadded 3-word caption alone...
+    single = BertCaptionEmbedder(v, model=model, tokenizer=tokenizer)(
+        caps[1:2, :3])
+    np.testing.assert_allclose(out[1, :4], single[0], atol=1e-5)
+    np.testing.assert_array_equal(out[1, 4:], 0.0)
+    # ...whereas the padded text demonstrably differs (the bug this
+    # guards against: pad words leaking into the eval BERT text).
+    padded = BertCaptionEmbedder(v, model=model, tokenizer=tokenizer)(caps)
+    assert np.abs(np.asarray(padded)[1, :4] - out[1, :4]).max() > 1e-4
+
+
+@pytest.mark.parametrize("device", [False, True])
 def test_eviction_keeps_current_batch(tiny_bert, caption_vocab, device):
     """Overflow eviction must not drop entries the CURRENT batch needs:
     a batch mixing an already-cached caption with enough new ones to
