@@ -209,23 +209,78 @@ def _build_transforms_module():
 
 
 def _build_bert_stub():
+    import os
+
     from torch import nn
 
     class BertModel(nn.Module):
-        """Skeleton for unpickling (state restored via __dict__)."""
+        """pytorch_pretrained_bert.BertModel stand-in.
+
+        Two jobs:
+         - unpickling reference bert_attention checkpoints (state is
+           restored via ``__dict__`` without running ``__init__``, so
+           the class only has to resolve by qualified name), and
+         - a FUNCTIONAL ``from_pretrained`` when ``BERT_MODEL_DIR``
+           points at a local transformers checkout, wrapping
+           ``transformers.BertModel`` behind pytorch_pretrained_bert's
+           call convention — ``model(ids)`` returns
+           ``(encoded_layers, pooled_output)`` where ``encoded_layers``
+           is the per-layer hidden-state list the reference indexes as
+           ``encoded_layers[11]`` (reference: models/attention.py:99,
+           178-181). This is what lets the oracle harness
+           (tools/ref_oracle.py) run the reference's --use_bert path
+           live against the same local BERT icd_tpu uses. The local
+           model must have 12 encoder layers for index 11 to mean
+           "final layer" exactly as it does on bert-base.
+        """
 
         @classmethod
         def from_pretrained(cls, *a, **k):
-            raise RuntimeError(
-                "pytorch_pretrained_bert shim cannot download weights; "
-                "use icd_tpu.models.bert_embed (transformers) instead.")
+            src = os.environ.get("BERT_MODEL_DIR")
+            if not src:
+                raise RuntimeError(
+                    "pytorch_pretrained_bert shim cannot download "
+                    "weights; set BERT_MODEL_DIR to a local transformers "
+                    "save_pretrained directory (tools/make_tiny_bert.py "
+                    "builds one), or use icd_tpu.models.bert_embed.")
+            from transformers import BertModel as _HFBertModel
+
+            self = cls()
+            self.hf = _HFBertModel.from_pretrained(src)
+            self.hf.eval()
+            return self
+
+        def forward(self, input_ids, token_type_ids=None,
+                    attention_mask=None, output_all_encoded_layers=True):
+            out = self.hf(input_ids=input_ids,
+                          token_type_ids=token_type_ids,
+                          attention_mask=attention_mask,
+                          output_hidden_states=True)
+            # hidden_states[0] is the embedding output;
+            # [1:] are the encoder layers = encoded_layers.
+            layers = list(out.hidden_states[1:])
+            if not output_all_encoded_layers:
+                return layers[-1], out.pooler_output
+            return layers, out.pooler_output
 
     class BertTokenizer:
         @classmethod
         def from_pretrained(cls, *a, **k):
-            raise RuntimeError(
-                "pytorch_pretrained_bert shim cannot download vocabs; "
-                "use icd_tpu.models.bert_embed (transformers) instead.")
+            src = os.environ.get("BERT_MODEL_DIR")
+            if not src:
+                raise RuntimeError(
+                    "pytorch_pretrained_bert shim cannot download "
+                    "vocabs; set BERT_MODEL_DIR to a local transformers "
+                    "save_pretrained directory, or use "
+                    "icd_tpu.models.bert_embed.")
+            # The transformers tokenizer IS API-compatible with the two
+            # methods the reference calls (tokenize /
+            # convert_tokens_to_ids, reference: attention.py:172-173)
+            # and pickles under its own importable name, so return it
+            # directly rather than wrapping.
+            from transformers import BertTokenizer as _HFBertTokenizer
+
+            return _HFBertTokenizer.from_pretrained(src)
 
     modeling = types.ModuleType("pytorch_pretrained_bert.modeling")
     tokenization = types.ModuleType("pytorch_pretrained_bert.tokenization")

@@ -74,3 +74,21 @@ def test_oracle_glove_attention(oracle_root):
     (ICD_TPU_GLOVE_REFBUG=1 at prepare time — both sides consume the
     identical pickle, icd_tpu/data/embed.py:9-17)."""
     _run_family(oracle_root, "glove_attention")
+
+
+def test_oracle_glove_baseline(oracle_root):
+    """Same GloVe pickle through the baseline decoder's
+    load_pretrained_embeddins path (reference: models/baseline.py:59-79),
+    completing the reference's published model matrix minus BERT."""
+    _run_family(oracle_root, "glove_baseline")
+
+
+def test_oracle_bert_attention(oracle_root):
+    """The reference's --use_bert path run LIVE (not just unpickled):
+    its _create_bert_embeddings loop (reference: models/attention.py:
+    166-215) executes through the functional pytorch_pretrained_bert
+    compat shim against the same local 12-layer BERT_MODEL_DIR weights
+    icd_tpu's BertCaptionEmbedder reads, and the whole-module pickle —
+    including the live BertModel/BertTokenizer objects — round-trips
+    through conversion with eval-metric parity."""
+    _run_family(oracle_root, "bert_attention")

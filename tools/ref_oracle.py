@@ -23,6 +23,13 @@ fake agreement):
    snapshot, reference: .MISSING_LARGE_BLOBS) -> a deterministic
    stdio-protocol fake (tools/fake_meteor.py) served to the reference
    via a PATH ``java`` shim and to icd_tpu via METEOR_CMD.
+ - pytorch_pretrained_bert + bert-base-uncased are absent -> the
+   reference's BERT path (models/attention.py:96-100, 166-215) runs
+   through the functional compat shim wrapping transformers, loading a
+   local 12-encoder-layer BERT (so the reference's
+   ``encoded_layers[11]`` is the final layer, exactly as on bert-base)
+   built by tools/make_tiny_bert.py from the fixture vocabulary; both
+   sides read the SAME BERT_MODEL_DIR weights.
  - torch>=2.6 defaults ``torch.load(weights_only=True)``, which rejects
    the reference's whole-module pickles -> patched back to the legacy
    default the reference was written against (trusted: the pickle was
@@ -33,8 +40,8 @@ Subcommands:
   run-ref <root> <script> [args...]             run a reference CLI
   run-ours <root> <script> [args...]            run an icd_tpu CLI (CPU)
   compare <ref.json> <ours.json> [--tol ...]    assert metric parity
-  full <root> [--families baseline,attention,glove_attention]
-                                                the whole loop
+  full <root> [--families baseline,glove_baseline,attention,
+               glove_attention,bert_attention]  the whole loop
 
 Example (what tests/test_oracle.py automates):
   python tools/ref_oracle.py full /tmp/oracle --train 48 --val 24
@@ -93,6 +100,19 @@ def prepare(root, n_train=48, n_val=24, seed=0):
          "from icd_tpu.data.embed import generate_glove_vectors; "
          "generate_glove_vectors()"],
         cwd=REPO_ROOT, env=env, check=True)
+
+    # Local BERT for the bert_attention family: 12 encoder layers so
+    # the reference's encoded_layers[11] (attention.py:178-181) selects
+    # the final layer exactly as it does on bert-base; wordpiece vocab
+    # derived from the reference-built vocab.pkl so every fixture word
+    # tokenizes cleanly (both alignment walks need that, see
+    # icd_tpu/models/bert_embed.py degradation note).
+    subprocess.run(
+        [sys.executable, os.path.join(REPO_ROOT, "tools",
+                                      "make_tiny_bert.py"),
+         os.path.join(root, "bertbase"), "--layers", "12"],
+        cwd=REPO_ROOT, env=dict(os.environ, ICD_TPU_ROOT=root),
+        check=True)
     print("oracle root prepared at {}".format(root), flush=True)
 
 
@@ -143,11 +163,11 @@ def _write_tiny_glove(root):
 
 # ------------------------------------------------------------ run-ref
 
-def run_reference(root, script, args):
+def run_reference(root, script, args, env_extra=None):
     """Run a reference CLI in a fresh subprocess rooted at ``root``."""
     cmd = [sys.executable, os.path.abspath(__file__), "run-ref", root,
            script] + list(args)
-    env = dict(os.environ)
+    env = dict(os.environ, **(env_extra or {}))
     env["PATH"] = os.path.join(root, "bin") + os.pathsep + env["PATH"]
     subprocess.run(cmd, check=True, env=env)
 
@@ -282,8 +302,15 @@ def compare(ref_json, ours_json, metric_tol=1e-6, loss_tol=5e-3):
 # ---------------------------------------------------------------- full
 
 FAMILIES = {
-    # family -> (train flags, eval --model_type, env for our eval)
+    # family -> (train flags, eval --model_type, env for BOTH sides;
+    # '{root}' in env values is formatted with the oracle root). The
+    # five families are the reference's published model matrix
+    # (reference: Makefile:6-19).
     "baseline": (["--model", "baseline"], "baseline", {}),
+    "glove_baseline": (["--model", "baseline", "--use_glove", "True",
+                        "--embed_size", "300",
+                        "--fine_tune_embedding", "True"],
+                       "baseline", {}),
     "attention": (["--model", "attention", "--attention_dim", "128",
                    "--decoder_dim", "128"], "attention", {}),
     "glove_attention": (["--model", "attention", "--use_glove", "True",
@@ -291,6 +318,10 @@ FAMILIES = {
                          "--decoder_dim", "128",
                          "--fine_tune_embedding", "True"],
                         "attention", {}),
+    "bert_attention": (["--model", "attention", "--use_bert", "True",
+                        "--embed_size", "768", "--attention_dim", "128",
+                        "--decoder_dim", "128"],
+                       "attention", {"BERT_MODEL_DIR": "{root}/bertbase"}),
 }
 
 
@@ -302,6 +333,8 @@ def full(root, families, n_train=48, n_val=24, seed=0, epochs=1,
     results = []
     for family in families:
         train_flags, model_type, env_extra = FAMILIES[family]
+        env_extra = {k: v.format(root=root)
+                     for k, v in env_extra.items()}
         name = "oracle_{}".format(family)
         ckpt = "{}_{}.pth.tar".format(name, epochs - 1)
         stem = ckpt.split(".")[0]
@@ -309,9 +342,10 @@ def full(root, families, n_train=48, n_val=24, seed=0, epochs=1,
         run_reference(root, "train.py", [
             name, "--epochs", str(epochs), "--batch_size",
             str(batch_size), "--workers", "0", "--print_freq", "1000",
-        ] + train_flags)
+        ] + train_flags, env_extra)
         run_reference(root, "eval.py", [
-            ckpt, "--model_type", model_type, "--print_freq", "1000"])
+            ckpt, "--model_type", model_type, "--print_freq", "1000"],
+            env_extra)
 
         ref_json = os.path.join(root, "eval_data",
                                 "ref_{}.json".format(stem))
@@ -356,8 +390,9 @@ def main():
 
     sp = sub.add_parser("full")
     sp.add_argument("root")
-    sp.add_argument("--families", default="baseline,attention,"
-                                          "glove_attention")
+    sp.add_argument("--families", default="baseline,glove_baseline,"
+                                          "attention,glove_attention,"
+                                          "bert_attention")
     sp.add_argument("--train", type=int, default=48)
     sp.add_argument("--val", type=int, default=24)
     sp.add_argument("--seed", type=int, default=0)
