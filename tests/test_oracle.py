@@ -83,6 +83,39 @@ def test_oracle_glove_baseline(oracle_root):
     _run_family(oracle_root, "glove_baseline")
 
 
+def _run_beam(oracle_root, family):
+    proc = subprocess.run(
+        [sys.executable, ORACLE, "beam", oracle_root, "--family", family,
+         "--k", "5", "--n_images", "4", "--epochs", "3",
+         "--batch_size", "8"],
+        env=_clean_env(), cwd=REPO, capture_output=True, text=True)
+    assert proc.returncode == 0, (
+        "beam oracle failed:\n--- stdout:\n{}\n--- stderr:\n{}".format(
+            proc.stdout[-4000:], proc.stderr[-4000:]))
+    reports = [json.loads(line) for line in proc.stdout.splitlines()
+               if line.startswith("{") and '"beam_exact"' in line]
+    assert len(reports) == 1, proc.stdout[-2000:]
+    rep = reports[0]
+    assert rep["ok"] and rep["beam_exact"] and rep["n_images"] == 4, rep
+    return rep
+
+
+def test_oracle_beam_attention(oracle_root):
+    """Decoding parity against the reference's ACTUAL beam search
+    (reference: gen_captions.py:16-131, the captions.ipynb generation
+    path): the reference's attention_caption_image_beam_search and
+    icd_tpu's lax.while_loop beam (icd_tpu/decoding/beam.py) must emit
+    token-identical sequences on the same converted checkpoint and val
+    images (incl. the un-normalized /255 loader quirk,
+    gen_captions.py:133-143). Uses a dedicated seeded 3-epoch
+    checkpoint (the reference CLIs never seed; the bootstrap seeds
+    torch so this model reproducibly completes captions)."""
+    rep = _run_beam(oracle_root, "attention")
+    # The fixture model completes captions — this exercises the full
+    # dynamic-k retirement path, not just the step-budget fallback.
+    assert rep["n_found"] >= 1, rep
+
+
 def test_oracle_bert_attention(oracle_root):
     """The reference's --use_bert path run LIVE (not just unpickled):
     its _create_bert_embeddings loop (reference: models/attention.py:

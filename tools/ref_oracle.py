@@ -42,6 +42,9 @@ Subcommands:
   compare <ref.json> <ours.json> [--tol ...]    assert metric parity
   full <root> [--families baseline,glove_baseline,attention,
                glove_attention,bert_attention]  the whole loop
+  beam <root> [--family attention --k 5 --n_images 4]
+               beam-search parity: the reference's actual
+               gen_captions.py beam vs icd_tpu's, token-for-token
 
 Example (what tests/test_oracle.py automates):
   python tools/ref_oracle.py full /tmp/oracle --train 48 --val 24
@@ -174,6 +177,14 @@ def run_reference(root, script, args, env_extra=None):
 
 def _exec_reference(root, script, args):
     """(in-subprocess) bootstrap the shims and runpy the reference CLI."""
+    _bootstrap_reference(root)
+    sys.argv = [script] + list(args)
+    runpy.run_path(os.path.join(REFERENCE_ROOT, script),
+                   run_name="__main__")
+
+
+def _bootstrap_reference(root):
+    """(in-subprocess) install the reference-side environment shims."""
     os.chdir(root)
     os.environ["PATH"] = (os.path.join(root, "bin") + os.pathsep +
                           os.environ.get("PATH", ""))
@@ -213,6 +224,12 @@ def _exec_reference(root, script, args):
     # legacy default for checkpoints this harness itself produced.
     import torch
 
+    # The reference CLIs never seed (only captions.ipynb does,
+    # torch.manual_seed(67) in cell 0); seed here so oracle training
+    # runs are reproducible — the beam stage depends on a model that
+    # reliably completes captions within the 50-step budget.
+    torch.manual_seed(int(os.environ.get("ICD_TPU_ORACLE_SEED", "67")))
+
     _orig_load = torch.load
 
     def _legacy_load(*a, **k):
@@ -220,10 +237,6 @@ def _exec_reference(root, script, args):
         return _orig_load(*a, **k)
 
     torch.load = _legacy_load
-
-    sys.argv = [script] + list(args)
-    runpy.run_path(os.path.join(REFERENCE_ROOT, script),
-                   run_name="__main__")
 
 
 # ------------------------------------------------------------ run-ours
@@ -239,6 +252,12 @@ def _exec_ours(root, script, args):
     """(in-subprocess) run an icd_tpu CLI on the CPU platform against
     the oracle root (the parity comparison is a numerics check, not a
     perf run; CPU keeps f32 matmuls exact — CLAUDE.md MXU caveat)."""
+    _bootstrap_ours(root)
+    sys.argv = [script] + list(args)
+    runpy.run_path(os.path.join(REPO_ROOT, script), run_name="__main__")
+
+
+def _bootstrap_ours(root):
     # icd_tpu/__init__.py re-honors the JAX_PLATFORMS env contract (the
     # axon sitecustomize pins it to the TPU), so set BOTH the env var
     # (wins after icd_tpu import) and the config (wins before it).
@@ -249,9 +268,7 @@ def _exec_ours(root, script, args):
     os.environ["ICD_TPU_ROOT"] = root
     os.environ.setdefault(
         "METEOR_CMD", "{} {}".format(sys.executable, FAKE_METEOR))
-    sys.argv = [script] + list(args)
     sys.path.insert(0, REPO_ROOT)
-    runpy.run_path(os.path.join(REPO_ROOT, script), run_name="__main__")
 
 
 # ------------------------------------------------------------- compare
@@ -297,6 +314,149 @@ def compare(ref_json, ours_json, metric_tol=1e-6, loss_tol=5e-3):
                   n_losses=len(rl))
     print(json.dumps(report), flush=True)
     return report
+
+
+# ----------------------------------------------------------------- beam
+
+def _exec_beam_ref(root, ckpt, images, k, out_json):
+    """(in-subprocess) run the REFERENCE's beam search
+    (reference: gen_captions.py:16-131) on ``images`` with the
+    whole-module checkpoint, the way captions.ipynb drives it
+    (cell 2: .eval() + decoder.device; the beam itself runs under
+    no_grad semantics — it only reads)."""
+    _bootstrap_reference(root)
+    import torch
+
+    import gen_captions as rg  # resolves to the reference module
+    from vocabulary import load_vocab
+
+    device = torch.device("cpu")
+    chk = torch.load(os.path.join(root, "checkpoints", ckpt),
+                     map_location=device)
+    encoder = chk["encoder"].eval()
+    decoder = chk["decoder"].eval()
+    decoder.device = device
+    vocab = load_vocab()
+    args = argparse.Namespace(beam_size=int(k))
+
+    out = []
+    with torch.no_grad():
+        for path in images:
+            img = rg.load_img(device, path)
+            seq, _alphas, found = rg.attention_caption_image_beam_search(
+                device, args, img, encoder, decoder, vocab)
+            out.append({"image": os.path.basename(path),
+                        "found": bool(found),
+                        "seq": [int(t) for t in seq],
+                        "words": [vocab.i2w[int(t)] for t in seq]})
+    with open(out_json, "w") as f:
+        json.dump(out, f)
+
+
+def _exec_beam_ours(root, ckpt, images, k, out_json):
+    """(in-subprocess) run icd_tpu's beam search (gen_captions.py /
+    icd_tpu/decoding/beam.py) on the converted checkpoint."""
+    _bootstrap_ours(root)
+    import types
+
+    import jax
+    import jax.numpy as jnp
+
+    import gen_captions as og  # OUR root-level module (REPO_ROOT wins)
+    from icd_tpu.checkpoint import load_checkpoint, unpack_checkpoint
+    from icd_tpu.vocabulary import load_vocab
+
+    args = types.SimpleNamespace(checkpoint=ckpt, beam_size=int(k))
+    chk = load_checkpoint(args)  # auto-converts the reference .pth.tar
+    _, encoder, decoder, _, _, _ = unpack_checkpoint(chk)
+    encoder = jax.tree_util.tree_map(jnp.asarray, encoder)
+    decoder = jax.tree_util.tree_map(jnp.asarray, decoder)
+    vocab = load_vocab()
+
+    out = []
+    for path in images:
+        img = og.load_img(path)
+        seq, _alphas, found = og.attention_caption_image_beam_search(
+            args, img, encoder, decoder, vocab)
+        out.append({"image": os.path.basename(path),
+                    "found": bool(found),
+                    "seq": [int(t) for t in seq],
+                    "words": [vocab.i2w[int(t)] for t in seq]})
+    with open(out_json, "w") as f:
+        json.dump(out, f)
+
+
+def compare_beam(ref_json, ours_json):
+    """Assert the emitted beam sequences are IDENTICAL per image."""
+    with open(ref_json) as f:
+        ref = json.load(f)
+    with open(ours_json) as f:
+        ours = json.load(f)
+    assert len(ref) == len(ours), (len(ref), len(ours))
+    for r, o in zip(ref, ours):
+        assert r["image"] == o["image"], (r["image"], o["image"])
+        assert r["found"] == o["found"], (r, o)
+        assert r["seq"] == o["seq"], (
+            "beam divergence on {}:\n  ref  {}\n  ours {}".format(
+                r["image"], r["words"], o["words"]))
+    report = {"ref": ref_json, "ours": ours_json, "ok": True,
+              "n_images": len(ref), "beam_exact": True,
+              "n_found": sum(r["found"] for r in ref)}
+    print(json.dumps(report), flush=True)
+    return report
+
+
+def beam(root, family="attention", k=5, n_images=4, n_train=48, n_val=24,
+         seed=0, epochs=3, batch_size=8):
+    """Beam-search parity: the reference's actual
+    attention_caption_image_beam_search vs icd_tpu's beam on the same
+    converted checkpoint and the same val images, sequences compared
+    token-for-token. Trains a dedicated seeded checkpoint
+    (oracle_beam_<family>, default 3 epochs — enough that the fixture
+    model reliably completes captions inside the reference's 50-step
+    budget, exercising the dynamic-k retirement path rather than just
+    the not-found fallback)."""
+    if not os.path.exists(os.path.join(root, "pkldata", "vocab.pkl")):
+        prepare(root, n_train=n_train, n_val=n_val, seed=seed)
+
+    train_flags, model_type, env_extra = FAMILIES[family]
+    assert model_type == "attention", (
+        "the reference's beam search exists only for the attention "
+        "decoder (reference: gen_captions.py:16)")
+    env_extra = {key: v.format(root=root) for key, v in env_extra.items()}
+    name = "oracle_beam_{}".format(family)
+    ckpt = "{}_{}.pth.tar".format(name, epochs - 1)
+    if not os.path.exists(os.path.join(root, "checkpoints", ckpt)):
+        run_reference(root, "train.py", [
+            name, "--epochs", str(epochs), "--batch_size",
+            str(batch_size), "--workers", "0", "--print_freq", "1000",
+            # 10x the default decoder lr: the 48-caption fixture needs
+            # a model that free-runs to <end> within the 50-step beam
+            # budget in few epochs (at the default 4e-4 it still emits
+            # 'the the the...' after 6 epochs).
+            "--decoder_lr", "4e-3",
+        ] + train_flags, env_extra)
+
+    img_dir = os.path.join(root, "cocoapi", "images", "val2014")
+    images = [os.path.join(img_dir, f)
+              for f in sorted(os.listdir(img_dir))[:n_images]]
+    ref_out = os.path.join(root, "eval_data",
+                           "beam_ref_{}.json".format(family))
+    ours_out = os.path.join(root, "eval_data",
+                            "beam_ours_{}.json".format(family))
+
+    me = os.path.abspath(__file__)
+    env = dict(os.environ, **env_extra)
+    env["PATH"] = os.path.join(root, "bin") + os.pathsep + env["PATH"]
+    subprocess.run(
+        [sys.executable, me, "beam-ref", root, ckpt, ref_out,
+         "--k", str(k), "--images", ",".join(images)],
+        check=True, env=env)
+    subprocess.run(
+        [sys.executable, me, "beam-ours", root, ckpt, ours_out,
+         "--k", str(k), "--images", ",".join(images)],
+        check=True, env=dict(os.environ, **env_extra))
+    return compare_beam(ref_out, ours_out)
 
 
 # ---------------------------------------------------------------- full
@@ -399,6 +559,26 @@ def main():
     sp.add_argument("--epochs", type=int, default=1)
     sp.add_argument("--batch_size", type=int, default=8)
 
+    sp = sub.add_parser("beam")
+    sp.add_argument("root")
+    sp.add_argument("--family", default="attention")
+    sp.add_argument("--k", type=int, default=5)
+    sp.add_argument("--n_images", type=int, default=4)
+    sp.add_argument("--train", type=int, default=48)
+    sp.add_argument("--val", type=int, default=24)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--epochs", type=int, default=3)
+    sp.add_argument("--batch_size", type=int, default=8)
+
+    for cmd in ("beam-ref", "beam-ours"):
+        sp = sub.add_parser(cmd)
+        sp.add_argument("root")
+        sp.add_argument("ckpt")
+        sp.add_argument("out_json")
+        sp.add_argument("--k", type=int, default=5)
+        sp.add_argument("--images", required=True,
+                        help="comma-separated image paths")
+
     a = p.parse_args()
     if a.cmd == "prepare":
         prepare(a.root, a.train, a.val, a.seed)
@@ -411,6 +591,15 @@ def main():
     elif a.cmd == "full":
         full(a.root, a.families.split(","), a.train, a.val, a.seed,
              a.epochs, a.batch_size)
+    elif a.cmd == "beam":
+        beam(a.root, a.family, a.k, a.n_images, a.train, a.val, a.seed,
+             a.epochs, a.batch_size)
+    elif a.cmd == "beam-ref":
+        _exec_beam_ref(a.root, a.ckpt, a.images.split(","), a.k,
+                       a.out_json)
+    elif a.cmd == "beam-ours":
+        _exec_beam_ours(a.root, a.ckpt, a.images.split(","), a.k,
+                        a.out_json)
 
 
 if __name__ == "__main__":
