@@ -6,6 +6,8 @@ import pickle
 import subprocess
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -14,6 +16,61 @@ def _run(tool, *args, root):
     return subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", tool), *args],
         cwd=root, env=env, capture_output=True, text=True)
+
+
+@pytest.fixture(scope="module")
+def demo_checkpoint(coco_root):
+    """One tiny attention checkpoint trained through the real train.py
+    CLI, shared by the captioner-tool smokes below."""
+    name = "toolsdemo"
+    ckpt = os.path.join(coco_root, "checkpoints", name + "_0.ckpt")
+    if not os.path.exists(ckpt):
+        env = dict(os.environ, ICD_TPU_ROOT=coco_root,
+                   JAX_PLATFORMS="cpu")
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "train.py"), name,
+             "--model", "attention", "--attention_dim", "32",
+             "--decoder_dim", "32", "--embed_size", "32",
+             "--epochs", "1", "--batch_size", "2", "--workers", "0",
+             "--print_freq", "1000"],
+            cwd=coco_root, env=env, capture_output=True, text=True)
+        assert proc.returncode == 0, proc.stderr[-3000:]
+        assert os.path.exists(ckpt)
+    return name + "_0.ckpt"
+
+
+def test_captions_demo(coco_root, demo_checkpoint):
+    """captions.ipynb equivalent: teacher-forced side-by-side captions
+    (reference: captions.ipynb cells 3-5)."""
+    out = _run("captions_demo.py", demo_checkpoint + ":attention",
+               "--num_images", "1", root=coco_root)
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert "truth:" in out.stdout and demo_checkpoint in out.stdout
+
+
+def test_greedy_eval(coco_root, demo_checkpoint, tmp_path):
+    """Serving-path greedy captioner over the val split writes the
+    {image_id, caption} JSON."""
+    out_json = str(tmp_path / "greedy.json")
+    out = _run("greedy_eval.py", demo_checkpoint, "--model_type",
+               "attention", "--batch_size", "2", "--max_len", "6",
+               "--out", out_json, root=coco_root)
+    assert out.returncode == 0, out.stderr[-3000:]
+    with open(out_json) as f:
+        rows = json.load(f)
+    assert rows and {"image_id", "caption"} <= set(rows[0])
+
+
+def test_beam_eval(coco_root, demo_checkpoint, tmp_path):
+    """Batched beam-search captioner over the val split (f32 on CPU)."""
+    out_json = str(tmp_path / "beam.json")
+    out = _run("beam_eval.py", demo_checkpoint, "--beam_size", "2",
+               "--batch_size", "2", "--dtype", "f32",
+               "--out", out_json, root=coco_root)
+    assert out.returncode == 0, out.stderr[-3000:]
+    with open(out_json) as f:
+        rows = json.load(f)
+    assert rows and {"image_id", "caption"} <= set(rows[0])
 
 
 def test_training_plots(use_coco_root, tmp_path):
