@@ -116,6 +116,39 @@ def test_oracle_beam_attention(oracle_root):
     assert rep["n_found"] >= 1, rep
 
 
+def _run_export(oracle_root, family):
+    proc = subprocess.run(
+        [sys.executable, ORACLE, "export", oracle_root,
+         "--families", family, "--epochs", "1", "--batch_size", "8"],
+        env=_clean_env(), cwd=REPO, capture_output=True, text=True)
+    assert proc.returncode == 0, (
+        "export oracle failed:\n--- stdout:\n{}\n--- stderr:\n{}".format(
+            proc.stdout[-4000:], proc.stderr[-4000:]))
+    reports = [json.loads(line) for line in proc.stdout.splitlines()
+               if line.startswith("{") and '"max_metric_diff"' in line]
+    assert len(reports) == 1, proc.stdout[-2000:]
+    rep = reports[0]
+    assert rep["ok"] and rep["n_losses"] == 24, rep
+    return rep
+
+
+def test_oracle_export_baseline(oracle_root):
+    """The REVERSE weld: icd_tpu trains, icd_tpu/export.py writes a
+    reference-format whole-module .pth.tar, and the UNMODIFIED reference
+    eval.py (reference: eval.py:21-45 + checkpoint.py:7-35) evaluates it
+    — metric dicts bit-identical to our own eval of the same
+    checkpoint. Proves icd_tpu-trained models are consumable by the
+    reference ecosystem."""
+    _run_export(oracle_root, "baseline")
+
+
+def test_oracle_export_attention(oracle_root):
+    """Reverse weld for the attention decoder (reference AttentionDecoder
+    constructed with a reference-Vocabulary instance, attention.py:84,
+    and state loaded through the layout inverses in icd_tpu/export.py)."""
+    _run_export(oracle_root, "attention")
+
+
 def test_oracle_bert_attention(oracle_root):
     """The reference's --use_bert path run LIVE (not just unpickled):
     its _create_bert_embeddings loop (reference: models/attention.py:

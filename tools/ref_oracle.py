@@ -459,6 +459,73 @@ def beam(root, family="attention", k=5, n_images=4, n_train=48, n_val=24,
     return compare_beam(ref_out, ours_out)
 
 
+# --------------------------------------------------------------- export
+
+def _exec_export(root, ckpt, out_path):
+    """(in-subprocess) export an icd_tpu checkpoint to the reference's
+    whole-module .pth.tar (icd_tpu/export.py)."""
+    _bootstrap_ours(root)
+    from icd_tpu.checkpoint import load_checkpoint
+    from icd_tpu.export import export_reference_checkpoint
+
+    chkpt = load_checkpoint(name=ckpt, verbose=False)
+    export_reference_checkpoint(chkpt, out_path,
+                                reference_root=REFERENCE_ROOT)
+    print("exported {} -> {}".format(ckpt, out_path), flush=True)
+
+
+def export(root, families=("baseline", "attention"), n_train=48,
+           n_val=24, seed=0, epochs=1, batch_size=8):
+    """The REVERSE weld: train with icd_tpu, export the checkpoint to
+    the reference's .pth.tar format, and have the UNMODIFIED reference
+    eval.py evaluate it — metric dicts must agree with our own eval of
+    the same checkpoint. Proves icd_tpu-trained models are consumable
+    by the reference ecosystem (eval/gen_captions/notebooks/resume)."""
+    if not os.path.exists(os.path.join(root, "pkldata", "vocab.pkl")):
+        prepare(root, n_train=n_train, n_val=n_val, seed=seed)
+
+    results = []
+    for family in families:
+        train_flags, model_type, env_extra = FAMILIES[family]
+        assert not env_extra, (
+            "export oracle supports shim-free families only (bert "
+            "exports are loadable only under the same compat shim; "
+            "see icd_tpu/export.py docstring)")
+        name = "oracle_export_{}".format(family)
+        ckpt_ours = "{}_{}.ckpt".format(name, epochs - 1)
+        ckpt_ref = "{}_{}.pth.tar".format(name, epochs - 1)
+        stem = "{}_{}".format(name, epochs - 1)
+
+        run_ours(root, "train.py", [
+            name, "--epochs", str(epochs), "--batch_size",
+            str(batch_size), "--workers", "0", "--print_freq", "1000",
+        ] + train_flags)
+        run_ours(root, "eval.py",
+                 [ckpt_ours, "--model_type", model_type,
+                  "--print_freq", "1000"])
+        ours_json = os.path.join(root, "eval_data",
+                                 "ours_{}.json".format(stem))
+        shutil.move(os.path.join(root, "eval_data",
+                                 "{}.json".format(stem)), ours_json)
+
+        me = os.path.abspath(__file__)
+        subprocess.run(
+            [sys.executable, me, "export-ours", root, ckpt_ours,
+             os.path.join(root, "checkpoints", ckpt_ref)], check=True)
+
+        run_reference(root, "eval.py", [
+            ckpt_ref, "--model_type", model_type, "--print_freq",
+            "1000"])
+        ref_json = os.path.join(root, "eval_data",
+                                "{}.json".format(stem))
+
+        results.append(dict(compare(ref_json, ours_json),
+                            family=family, direction="ours->reference"))
+    print(json.dumps({"oracle": "export ok",
+                      "families": list(families)}), flush=True)
+    return results
+
+
 # ---------------------------------------------------------------- full
 
 FAMILIES = {
@@ -579,6 +646,20 @@ def main():
         sp.add_argument("--images", required=True,
                         help="comma-separated image paths")
 
+    sp = sub.add_parser("export")
+    sp.add_argument("root")
+    sp.add_argument("--families", default="baseline,attention")
+    sp.add_argument("--train", type=int, default=48)
+    sp.add_argument("--val", type=int, default=24)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--epochs", type=int, default=1)
+    sp.add_argument("--batch_size", type=int, default=8)
+
+    sp = sub.add_parser("export-ours")
+    sp.add_argument("root")
+    sp.add_argument("ckpt")
+    sp.add_argument("out_path")
+
     a = p.parse_args()
     if a.cmd == "prepare":
         prepare(a.root, a.train, a.val, a.seed)
@@ -600,6 +681,11 @@ def main():
     elif a.cmd == "beam-ours":
         _exec_beam_ours(a.root, a.ckpt, a.images.split(","), a.k,
                         a.out_json)
+    elif a.cmd == "export":
+        export(a.root, a.families.split(","), a.train, a.val, a.seed,
+               a.epochs, a.batch_size)
+    elif a.cmd == "export-ours":
+        _exec_export(a.root, a.ckpt, a.out_path)
 
 
 if __name__ == "__main__":
