@@ -45,6 +45,10 @@ Subcommands:
   beam <root> [--family attention --k 5 --n_images 4]
                beam-search parity: the reference's actual
                gen_captions.py beam vs icd_tpu's, token-for-token
+  export <root> [--families baseline,attention]
+               the REVERSE weld: icd_tpu trains, exports a reference
+               .pth.tar (icd_tpu/export.py), the unmodified reference
+               eval.py reproduces our metric dict
 
 Example (what tests/test_oracle.py automates):
   python tools/ref_oracle.py full /tmp/oracle --train 48 --val 24
