@@ -174,6 +174,13 @@ def _arm_watchdog():
     t = threading.Timer(deadline, fire)
     t.daemon = True
     t.start()
+    # Early heartbeat on stderr (stdout keeps the one-JSON-line
+    # contract): if the DRIVER's own timeout is shorter than ours and
+    # SIGKILLs us first, its captured tail still shows the bench
+    # started and what deadline it was working to.
+    print("bench.py attempt {} started; watchdog deadline {}s".format(
+        os.environ.get("ICD_TPU_BENCH_ATTEMPT", "1"), int(deadline)),
+        file=sys.stderr, flush=True)
     return t
 
 
