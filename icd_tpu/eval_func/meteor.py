@@ -13,7 +13,10 @@ warning instead (used by tests and jar-less smoke runs).
 
 Set METEOR_JAR to point at meteor-1.5.jar (default: this directory), or
 METEOR_CMD to a full command line speaking the same stdio protocol
-(used by tests and alternative scorer binaries).
+(used by tests and alternative scorer binaries), or
+``ICD_TPU_METEOR_PY=1`` to fall back to the in-process pure-Python
+METEOR 1.5 (eval_func/meteor_py.py — faithful on the id-string eval
+protocol, approximate exact+stem on surface words; see its docstring).
 """
 
 import os
@@ -48,26 +51,37 @@ class Meteor:
     def __init__(self):
         self.lock = threading.Lock()
         self.meteor_p = None
+        self._py = None
         cmd, cwd = _build_command()
         if cmd is not None:
             self.meteor_p = subprocess.Popen(
                 cmd, cwd=cwd,
                 stdin=subprocess.PIPE, stdout=subprocess.PIPE,
                 stderr=subprocess.PIPE)
+        elif os.environ.get("ICD_TPU_METEOR_PY"):
+            from .meteor_py import MeteorPy
+
+            self._py = MeteorPy()
         elif os.environ.get("ICD_TPU_ALLOW_NO_METEOR"):
             warnings.warn(
                 "METEOR jar or Java runtime unavailable; METEOR scores "
-                "will be 0.0. Set METEOR_JAR to enable.", stacklevel=2)
+                "will be 0.0. Set METEOR_JAR to enable, or "
+                "ICD_TPU_METEOR_PY=1 for the pure-Python fallback.",
+                stacklevel=2)
         else:
             raise RuntimeError(
                 "METEOR jar or Java runtime unavailable (looked for {}). "
                 "The reference fails loudly here too "
                 "(eval_func/meteor/meteor.py:18-24 launches the jar "
                 "unconditionally). Set METEOR_JAR to the meteor-1.5.jar "
-                "path, or set ICD_TPU_ALLOW_NO_METEOR=1 to accept 0.0 "
-                "METEOR scores.".format(_jar_path()))
+                "path, ICD_TPU_METEOR_PY=1 for the pure-Python METEOR "
+                "fallback (faithful on the id-string eval protocol — "
+                "eval_func/meteor_py.py), or ICD_TPU_ALLOW_NO_METEOR=1 "
+                "to accept 0.0 METEOR scores.".format(_jar_path()))
 
     def compute_score(self, gts, res):
+        if self._py is not None:
+            return self._py.compute_score(gts, res)
         if self.meteor_p is None:
             return 0.0, [0.0] * len(res)
 

@@ -7,9 +7,11 @@ reference's own driver code (reference: train.py:11-79, eval.py:21-45,
 checkpoint.py:39-62) produces a genuine whole-module ``.pth.tar`` and a
 metric JSON; icd_tpu auto-converts the checkpoint and must reproduce
 the metric dict (BLEU/METEOR*/ROUGE/CIDEr near-exactly, per-sample
-losses to f32 tolerance). *METEOR on both sides is the deterministic
-protocol fake (tools/fake_meteor.py) since the jar is absent from the
-environment and from the reference snapshot itself.
+losses to f32 tolerance). *METEOR on both sides is the pure-Python
+METEOR 1.5 stdio server (tools/meteor_stdio.py — faithful on the
+id-string eval protocol, see icd_tpu/eval_func/meteor_py.py) since the
+jar is absent from the environment and from the reference snapshot
+itself.
 
 Orchestrated via subprocesses (tools/ref_oracle.py) so the reference's
 shims and our CPU-forced JAX runtime can't pollute the test process.

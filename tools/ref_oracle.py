@@ -20,9 +20,11 @@ fake agreement):
    .word_tokenize`` is patched to icd_tpu's Treebank tokenizer (itself
    corpus-differential-tested against real NLTK, tests/test_tokenize.py).
  - meteor-1.5.jar + java are absent (also absent from the reference
-   snapshot, reference: .MISSING_LARGE_BLOBS) -> a deterministic
-   stdio-protocol fake (tools/fake_meteor.py) served to the reference
-   via a PATH ``java`` shim and to icd_tpu via METEOR_CMD.
+   snapshot, reference: .MISSING_LARGE_BLOBS) -> the pure-Python
+   METEOR 1.5 stdio server (tools/meteor_stdio.py — faithful on the
+   id-string eval protocol, icd_tpu/eval_func/meteor_py.py) served to
+   the reference via a PATH ``java`` shim and to icd_tpu via
+   METEOR_CMD, so the welded METEOR column carries the real algorithm.
  - pytorch_pretrained_bert + bert-base-uncased are absent -> the
    reference's BERT path (models/attention.py:96-100, 166-215) runs
    through the functional compat shim wrapping transformers, loading a
@@ -64,7 +66,7 @@ import sys
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REFERENCE_ROOT = "/root/reference"
-FAKE_METEOR = os.path.join(REPO_ROOT, "tools", "fake_meteor.py")
+FAKE_METEOR = os.path.join(REPO_ROOT, "tools", "meteor_stdio.py")
 
 
 # ---------------------------------------------------------------- prepare
