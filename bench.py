@@ -190,6 +190,10 @@ if __name__ == "__main__":
         main()
         _watchdog.cancel()
     except BaseException as e:  # noqa: BLE001 — must always emit JSON
+        # Disarm first: a timer firing mid-backoff would kill the retry
+        # this handler is about to schedule, and one firing mid-print
+        # would race a second JSON line onto stdout.
+        _watchdog.cancel()
         if isinstance(e, (KeyboardInterrupt, SystemExit)):
             raise
         attempt = int(os.environ.get("ICD_TPU_BENCH_ATTEMPT", "1"))

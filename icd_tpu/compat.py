@@ -176,7 +176,9 @@ def _build_transforms_module():
                 w, h = img.size
                 short, long = (w, h) if w <= h else (h, w)
                 new_short = self.size
-                new_long = int(round(self.size * long / short))
+                # torchvision's PIL path truncates (int(size*long/short),
+                # functional_pil.py), it does not round.
+                new_long = int(self.size * long / short)
                 nw, nh = ((new_short, new_long) if w <= h
                           else (new_long, new_short))
             else:

@@ -214,7 +214,8 @@ def export_reference_checkpoint(chkpt, out_path,
             params.attention_dim = (cfg.get("attention_dim") or int(
                 np.asarray(
                     dec_tree["attention"]["enc_att"]["w"]).shape[1]))
-            params.dropout = cfg.get("decoder_dropout") or 0.5
+            dropout = cfg.get("decoder_dropout")
+            params.dropout = 0.5 if dropout is None else dropout
             params.use_bert = bool(cfg.get("use_bert", False))
             params.vocab = _reference_vocab(reference_root)
             decoder = ref_attention.AttentionDecoder(device, params)

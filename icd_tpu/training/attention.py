@@ -27,7 +27,7 @@ from ..checkpoint import (load_checkpoint, save_checkpoint,
 from ..data.dataset import COCODataset
 from ..data.pipeline import (
     DataLoader, device_prefetch, pad_batch_to, snap_eval_batch)
-from ..metric import AccumulatingMetric, get_eval_score
+from ..metric import AccumulatingMetric, get_eval_score, probe_meteor
 from ..models.attention import (
     AttentionDecoderParams, attention_decoder_forward,
     init_attention_decoder, load_pretrained_embeddings)
@@ -327,6 +327,10 @@ def evaluate(args, encoder, decoder, batch_size=64, use_bert=False):
     the reference's pickled decoder module does automatically at eval
     (its forward checks ``self.use_bert``, attention.py:242-247; eval.py
     reads the flag from our checkpoint's config instead)."""
+    # Fail fast on a missing METEOR runtime before burning the decode
+    # loop (get_eval_score only runs after it) — library callers get the
+    # same startup probe the eval CLI does.
+    probe_meteor()
     dataset = COCODataset("val", caption_max_len=args.max_caption_length)
     vocab = dataset.vocab
     special = {vocab(START_TOKEN), vocab(END_TOKEN), vocab(PAD_TOKEN)}

@@ -33,7 +33,7 @@ from ..checkpoint import (load_checkpoint, save_checkpoint,
 from ..data.dataset import COCODataset
 from ..data.pipeline import (
     DataLoader, device_prefetch, pad_batch_to, snap_eval_batch)
-from ..metric import AccumulatingMetric, get_eval_score
+from ..metric import AccumulatingMetric, get_eval_score, probe_meteor
 from ..models.baseline import (
     BaselineDecoderParams, baseline_decoder_forward, init_baseline_decoder,
     load_pretrained_embeddings)
@@ -353,6 +353,10 @@ def evaluate(args, encoder, decoder, batch_size=64):
     Batched on device but numerically identical to the reference's
     batch-1 loop; returns the metric dict with the per-sample loss list.
     """
+    # Fail fast on a missing METEOR runtime before burning the decode
+    # loop (get_eval_score only runs after it) — library callers get the
+    # same startup probe the eval CLI does.
+    probe_meteor()
     dataset = COCODataset("val", caption_max_len=args.max_caption_length)
     vocab = dataset.vocab
     special = {vocab(START_TOKEN), vocab(END_TOKEN), vocab(PAD_TOKEN)}

@@ -48,6 +48,7 @@ def test_meteor_raises_without_jar_by_default(monkeypatch):
     (the reference crashes too, eval_func/meteor/meteor.py:18-24) — a
     real eval must never silently write METEOR: 0.0."""
     monkeypatch.delenv("ICD_TPU_ALLOW_NO_METEOR", raising=False)
+    monkeypatch.delenv("ICD_TPU_METEOR_PY", raising=False)
     monkeypatch.delenv("METEOR_CMD", raising=False)
     monkeypatch.setenv("METEOR_JAR", "/nonexistent/meteor-1.5.jar")
     from icd_tpu.eval_func.meteor import Meteor
@@ -58,6 +59,7 @@ def test_meteor_raises_without_jar_by_default(monkeypatch):
 
 def test_meteor_degrades_to_zero_when_allowed(monkeypatch):
     monkeypatch.setenv("ICD_TPU_ALLOW_NO_METEOR", "1")
+    monkeypatch.delenv("ICD_TPU_METEOR_PY", raising=False)
     monkeypatch.delenv("METEOR_CMD", raising=False)
     monkeypatch.setenv("METEOR_JAR", "/nonexistent/meteor-1.5.jar")
     from icd_tpu.eval_func.meteor import Meteor

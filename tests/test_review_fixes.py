@@ -98,3 +98,21 @@ def test_attention_train_pads_to_batch_max(use_coco_root, monkeypatch):
     for width, true_max, padded_len in seen:
         assert width == true_max  # padded exactly to the batch max
         assert padded_len == true_max  # decode window = true_max - 1
+
+
+def test_resize_shim_scalar_size_truncates_like_torchvision():
+    """torchvision's PIL Resize with a scalar size computes the long
+    side as int(size * long / short) — TRUNCATION, not rounding
+    (functional_pil.py). 128x129 at size 224: int(225.75) = 225."""
+    from PIL import Image
+
+    from icd_tpu.compat import _build_transforms_module
+
+    tm = _build_transforms_module()
+    out = tm.Resize(224)(Image.new("RGB", (128, 129)))
+    assert out.size == (224, 225)
+    # Tall/wide symmetry and the exact-ratio case stay exact.
+    out = tm.Resize(224)(Image.new("RGB", (129, 128)))
+    assert out.size == (225, 224)
+    out = tm.Resize(224)(Image.new("RGB", (112, 224)))
+    assert out.size == (224, 448)

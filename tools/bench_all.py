@@ -55,6 +55,7 @@ def main():
             session["results"].append({"name": name, "skipped": True})
             continue
         env = dict(os.environ)
+        env.pop("ICD_TPU_BENCH_BF16", None)  # only serving_bf16 sets it
         if name == "serving_bf16":
             env["ICD_TPU_BENCH_BF16"] = "1"
         print("=== {} ===".format(name), flush=True)
@@ -68,12 +69,16 @@ def main():
                    "stdout": proc.stdout[-8000:],
                    "stderr": proc.stderr[-2000:]}
         except subprocess.TimeoutExpired as exc:
+            def _tail(raw, n):
+                if isinstance(raw, bytes):
+                    return raw[-n:].decode("utf-8", "replace")
+                return (raw or "")[-n:]
             rec = {"name": name, "rc": "timeout",
                    "seconds": round(time.time() - t0, 1),
-                   "stdout": (exc.stdout or b"")[-8000:].decode(
-                       "utf-8", "replace") if isinstance(
-                       exc.stdout, bytes) else (exc.stdout or "")[-8000:],
-                   "stderr": ""}
+                   "stdout": _tail(exc.stdout, 8000),
+                   # bench.py heartbeats to stderr; keep it so a
+                   # timed-out row still shows the attempt/deadline.
+                   "stderr": _tail(exc.stderr, 2000)}
         print(rec["stdout"], flush=True)
         session["results"].append(rec)
         # Persist incrementally so a later hang doesn't lose rows.
