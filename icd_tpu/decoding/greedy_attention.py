@@ -118,9 +118,12 @@ def greedy_decode_attention_int8(decoder_params, qdec, encoder_grid,
         hc = h.astype(encoder_grid.dtype)
         weighted, alpha = soft_attention(att, encoder_grid, hc, att_enc)
         gate = jax.nn.sigmoid(hc @ fb["w"] + fb["b"])
-        x = jnp.concatenate(
-            [emb.astype(jnp.float32),
-             (gate * weighted).astype(jnp.float32)], axis=-1)
+        # Segments quantize separately (per-segment row scales): the
+        # embedding and the gated context differ in dynamic range on
+        # trained models, and one shared abs-max costs caption parity
+        # (see ops/qlinear.qlstm_cell).
+        x = (emb.astype(jnp.float32),
+             (gate * weighted).astype(jnp.float32))
         h2, c2 = qlstm_cell(qdec["lstm"], x, h, c)
         logits = qmatmul(h2, qdec["fc"]["wq"], qdec["fc"]["ws"]) \
             + qdec["fc"]["b"]

@@ -61,9 +61,25 @@ def quantize_lstm(params):
 
 
 def qlstm_cell(qp, x, h, c):
-    """lstm_cell with W8A8 gate matmuls; x/h/c f32, returns f32."""
+    """lstm_cell with W8A8 gate matmuls; x/h/c f32, returns f32.
+
+    ``x`` may be a tuple of row-concatenable segments, each quantized
+    with its OWN per-row scale. A single abs-max over a mixed-range
+    input (the attention decoder feeds ``[embedding, gated context]``,
+    whose segments differ in scale by an order of magnitude on trained
+    models) quantizes the small segment with the large segment's step
+    size, wasting most of the int8 grid on it; splitting recovers that
+    precision at identical FLOPs — the per-output-channel int8 weight
+    rows are just sliced per segment. Single-array ``x`` is bitwise
+    unchanged."""
     from ..models.lstm import gates_to_state
 
-    gates = qmatmul(x, qp["wiq"], qp["wis"]) + \
-        qmatmul(h, qp["whq"], qp["whs"]) + qp["b"]
+    segs = x if isinstance(x, tuple) else (x,)
+    off, acc = 0, None
+    for seg in segs:
+        w = qp["wiq"][off:off + seg.shape[-1]]
+        t = qmatmul(seg, w, qp["wis"])
+        acc = t if acc is None else acc + t
+        off += seg.shape[-1]
+    gates = acc + qmatmul(h, qp["whq"], qp["whs"]) + qp["b"]
     return gates_to_state(gates, c)

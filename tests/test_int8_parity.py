@@ -2,10 +2,12 @@
 
 The W8A8 attention decoder (decoding/greedy_attention.py
 quantize_attention_decoder + greedy_decode_attention_int8) ships opt-in
-with a measured 87.5% exact / 99.4% token parity on the round-1 fixture
-checkpoint (NOTES.md). That number previously lived only in a manual
-bench run — a regression in the quantized decode math would surface as
-a silently lower parity figure in some future manual measurement. This
+with measured fixture parity of 87.5% exact / 99.4% token (round-1
+checkpoint) and 98.4% / 99.87% (round-3 fresh 4-epoch checkpoint,
+per-segment input scales — NOTES.md). Those numbers previously lived
+only in manual bench runs — a regression in the quantized decode math
+would surface as a silently lower parity figure in some future manual
+measurement. This
 test pins it: train a small attention model in-suite, run the int8
 backbone with FLOAT decode vs the int8 backbone with INT8 decode (same
 calibration, so the encoder grids are identical and the diff isolates
@@ -85,8 +87,9 @@ def test_int8_attention_decoder_caption_parity(use_coco_root):
         tok_total += n
 
     n_img = len(toks_f)
-    # Pinned floor: the measured fixture parity is 87.5% exact / 99.4%
-    # token (NOTES.md); this tiny model decodes identically today —
-    # thresholds leave headroom for benign drift, not for rot.
+    # Pinned floor: measured fixture parity is 87.5-98.4% exact /
+    # 99.4-99.87% token across checkpoints (NOTES.md); this tiny model
+    # decodes identically today — thresholds leave headroom for benign
+    # drift, not for rot.
     assert exact / n_img >= 0.75, (exact, n_img, toks_f, toks_q)
     assert tok_same / tok_total >= 0.95, (tok_same, tok_total)

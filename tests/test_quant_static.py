@@ -304,6 +304,59 @@ def test_qlinear_matmul_accuracy():
     assert rel < 0.02, rel
 
 
+def test_qlstm_split_segments_beat_shared_scale():
+    """Per-segment activation scales on mixed-range LSTM inputs.
+
+    The attention decode loop feeds ``[embedding, gated context]``
+    whose dynamic ranges differ ~10x on trained models; one shared
+    per-row abs-max quantizes the small segment with the large one's
+    step size. qlstm_cell's tuple input must (a) match the float cell
+    much tighter than the concatenated call and (b) be exactly the
+    concatenated call when ranges are equal-scale slices.
+    """
+    import functools
+
+    from icd_tpu.models.lstm import init_lstm, lstm_cell
+    from icd_tpu.ops.qlinear import (
+        qlstm_cell, qmatmul, quantize_lstm, quantize_rows)
+
+    keys = jax.random.split(jax.random.PRNGKey(7), 5)
+    e, d, hdim, b = 24, 40, 16, 8
+    params = init_lstm(keys[0], e + d, hdim)
+    qp = quantize_lstm(params)
+    # emb ~N(0, 0.05), context ~N(0, 2.0): a 40x range mismatch.
+    emb = jax.random.normal(keys[1], (b, e)) * 0.05
+    ctx = jax.random.normal(keys[2], (b, d)) * 2.0
+    h = jax.random.normal(keys[3], (b, hdim)) * 0.3
+    c = jax.random.normal(keys[4], (b, hdim)) * 0.3
+    x = jnp.concatenate([emb, ctx], axis=-1)
+
+    # The token-identity signal: the embedding's contribution to the
+    # gates. Under the shared scale it is quantized with the context's
+    # step size and mostly destroyed; per-segment scales recover it.
+    g_emb_f = emb @ params["wi"][:e]
+    xq, xs = quantize_rows(x)
+    g_emb_shared = (xq[:, :e].astype(jnp.float32)
+                    @ qp["wiq"][:e].astype(jnp.float32)) * (xs * qp["wis"])
+    g_emb_split = qmatmul(emb, qp["wiq"][:e], qp["wis"])
+    err = lambda a: float(
+        jnp.linalg.norm(a - g_emb_f) / jnp.linalg.norm(g_emb_f))
+    assert err(g_emb_split) < 0.1 * err(g_emb_shared), (
+        err(g_emb_split), err(g_emb_shared))  # measured 0.007 vs 0.242
+
+    # Whole-cell output must not get worse, and a one-segment tuple is
+    # bitwise the array call (the baseline decode path is unchanged).
+    h_f, _ = lstm_cell(params, x, h, c)
+    cell = functools.partial(qlstm_cell, qp, h=h, c=c)
+    h_shared, _ = cell(x)
+    h_split, _ = cell((emb, ctx))
+    herr = lambda a: float(jnp.linalg.norm(a - h_f) / jnp.linalg.norm(h_f))
+    assert herr(h_split) <= herr(h_shared) * 1.001, (herr(h_split),
+                                                     herr(h_shared))
+    h_one, _ = cell((x,))
+    assert np.array_equal(np.asarray(h_one), np.asarray(h_shared))
+
+
 def test_int8_captioner_requires_calibration():
     from icd_tpu.decoding.serve import make_int8_captioner
     from icd_tpu.models.baseline import (
