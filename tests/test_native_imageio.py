@@ -60,11 +60,18 @@ def test_thread_parallel():
         np.testing.assert_array_equal(out, expected)
 
 
-def test_dataset_uses_native_loader(use_coco_root):
+def test_dataset_uses_native_loader(use_coco_root, monkeypatch):
+    # The native path is opt-in (ICD_TPU_NATIVE_LOADER=1 at import time),
+    # so the default suite left ds._native_decode unset and this test
+    # never ran. Patch the hook directly (monkeypatch restores it) so the
+    # dataset->native integration is exercised on every suite run.
     from icd_tpu.data import dataset as ds
 
-    if ds._native_decode is None:
+    try:
+        from icd_tpu.native.imageio import decode_resize_jpeg
+    except Exception:
         pytest.skip("native loader unavailable")
+    monkeypatch.setattr(ds, "_native_decode", decode_resize_jpeg)
     coco_ds = ds.COCODataset("train", caption_max_len=-1)
     img, _ = coco_ds[0]
     assert img.shape == (224, 224, 3) and img.dtype == np.uint8
