@@ -81,5 +81,10 @@ def qlstm_cell(qp, x, h, c):
         t = qmatmul(seg, w, qp["wis"])
         acc = t if acc is None else acc + t
         off += seg.shape[-1]
+    if off != qp["wiq"].shape[0]:
+        raise ValueError(
+            f"qlstm_cell input segments cover {off} rows of the "
+            f"{qp['wiq'].shape[0]}-row input weight; a mis-split input "
+            "would silently drop the remaining rows' gate contributions")
     gates = acc + qmatmul(h, qp["whq"], qp["whs"]) + qp["b"]
     return gates_to_state(gates, c)

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from icd_tpu.models.resnet import (
     batch_norm, conv2d, init_resnet, resnet_forward)
@@ -355,6 +356,14 @@ def test_qlstm_split_segments_beat_shared_scale():
                                                      herr(h_shared))
     h_one, _ = cell((x,))
     assert np.array_equal(np.asarray(h_one), np.asarray(h_shared))
+
+    # A mis-split input (segments not covering every input-weight row)
+    # must fail loudly instead of silently dropping gate contributions;
+    # an empty tuple is a degenerate case of the same error.
+    with pytest.raises(ValueError, match="segments cover"):
+        cell((emb,))
+    with pytest.raises(ValueError, match="segments cover"):
+        cell(())
 
 
 def test_int8_captioner_requires_calibration():
