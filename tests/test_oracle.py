@@ -38,6 +38,20 @@ def _clean_env():
 
 @pytest.fixture(scope="session")
 def oracle_root(tmp_path_factory):
+    """Persistent oracle root: reference-side artifacts (fixture data,
+    vocab, reference-trained checkpoints, reference eval JSONs) are
+    deterministic given the inputs hashed by ref_oracle.cache_key, so
+    they are cached across pytest sessions under ~/.cache/icd_tpu_oracle
+    and the oracle stages skip reference work whose outputs exist —
+    icd_tpu's convert/eval/export (the code under test) still runs
+    fresh every session. ICD_TPU_ORACLE_CACHE=0 restores the
+    build-from-scratch behavior (or point it at another directory)."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import ref_oracle
+
+    root = ref_oracle.cached_root(n_train=48, n_val=24, seed=0)
+    if root is not None:
+        return root
     root = str(tmp_path_factory.mktemp("oracle"))
     subprocess.run(
         [sys.executable, ORACLE, "prepare", root,

@@ -57,6 +57,7 @@ Example (what tests/test_oracle.py automates):
 """
 
 import argparse
+import hashlib
 import json
 import os
 import runpy
@@ -67,6 +68,82 @@ import sys
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REFERENCE_ROOT = "/root/reference"
 FAKE_METEOR = os.path.join(REPO_ROOT, "tools", "meteor_stdio.py")
+
+
+# ----------------------------------------------------------------- cache
+#
+# Reference-side oracle artifacts (the fixture data, vocab.pkl, the
+# seeded resnet101.pth, the reference-trained .pth.tar checkpoints and
+# reference-written eval JSONs) are deterministic functions of the
+# reference code (read-only), this harness, the shims both sides share,
+# and the fixture parameters. Re-deriving them dominates the pytest
+# suite (~12 of ~25 min), so tests/test_oracle.py keys a persistent
+# root on a hash of exactly those inputs and the stages below skip
+# reference-side work whose outputs already exist. icd_tpu's own
+# convert/eval/export paths — the code under test — always run fresh.
+
+ORACLE_CACHE_INPUTS = (
+    # this harness + the stdio METEOR both sides score through
+    "tools/ref_oracle.py", "tools/meteor_stdio.py",
+    # fixture generators
+    "tools/make_synthetic_coco.py", "tools/make_tiny_bert.py",
+    # shims the REFERENCE side executes through
+    "icd_tpu/compat.py", "icd_tpu/data/tokenize.py",
+    "icd_tpu/data/embed.py", "icd_tpu/eval_func/meteor_py.py",
+)
+
+
+def cache_key(n_train, n_val, seed):
+    """Hash of every input that determines reference-side artifacts."""
+    import numpy
+    import torch
+
+    h = hashlib.sha256()
+    for rel in ORACLE_CACHE_INPUTS:
+        with open(os.path.join(REPO_ROOT, rel), "rb") as f:
+            h.update(rel.encode())
+            h.update(f.read())
+    h.update("torch={} numpy={} py={}.{} train={} val={} seed={}".format(
+        torch.__version__, numpy.__version__, sys.version_info[0],
+        sys.version_info[1], n_train, n_val, seed).encode())
+    return h.hexdigest()[:16]
+
+
+def cached_root(n_train=48, n_val=24, seed=0):
+    """Persistent oracle root for these params, or None when disabled
+    (ICD_TPU_ORACLE_CACHE=0). An existing root missing its .prepared
+    sentinel (a prior prepare died midway) is wiped and rebuilt."""
+    base = os.environ.get(
+        "ICD_TPU_ORACLE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "icd_tpu_oracle"))
+    if base in ("0", ""):
+        return None
+    root = os.path.join(base, cache_key(n_train, n_val, seed))
+    sentinel = os.path.join(root, ".prepared")
+    if os.path.isdir(root) and not os.path.exists(sentinel):
+        shutil.rmtree(root)
+    if not os.path.exists(sentinel):
+        os.makedirs(root, exist_ok=True)
+        # Fresh subprocess with a clean env: the caller (pytest) may
+        # carry ICD_TPU_ROOT / JAX platform overrides that must not
+        # leak into the oracle root's construction.
+        env = dict(os.environ)
+        env.pop("ICD_TPU_ROOT", None)
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "prepare", root,
+             "--train", str(n_train), "--val", str(n_val),
+             "--seed", str(seed)],
+            check=True, cwd=REPO_ROOT, env=env)
+        with open(sentinel, "w") as f:
+            f.write(cache_key(n_train, n_val, seed) + "\n")
+        # GC stale entries (other keys) so edits to the hashed inputs
+        # don't accumulate dead ~100 MB roots.
+        me = os.path.basename(root)
+        for entry in os.listdir(base):
+            if entry != me and len(entry) == 16:
+                shutil.rmtree(os.path.join(base, entry),
+                              ignore_errors=True)
+    return root
 
 
 # ---------------------------------------------------------------- prepare
@@ -454,10 +531,11 @@ def beam(root, family="attention", k=5, n_images=4, n_train=48, n_val=24,
     me = os.path.abspath(__file__)
     env = dict(os.environ, **env_extra)
     env["PATH"] = os.path.join(root, "bin") + os.pathsep + env["PATH"]
-    subprocess.run(
-        [sys.executable, me, "beam-ref", root, ckpt, ref_out,
-         "--k", str(k), "--images", ",".join(images)],
-        check=True, env=env)
+    if not os.path.exists(ref_out):  # deterministic in a cached root
+        subprocess.run(
+            [sys.executable, me, "beam-ref", root, ckpt, ref_out,
+             "--k", str(k), "--images", ",".join(images)],
+            check=True, env=env)
     subprocess.run(
         [sys.executable, me, "beam-ours", root, ckpt, ours_out,
          "--k", str(k), "--images", ",".join(images)],
@@ -572,18 +650,21 @@ def full(root, families, n_train=48, n_val=24, seed=0, epochs=1,
         ckpt = "{}_{}.pth.tar".format(name, epochs - 1)
         stem = ckpt.split(".")[0]
 
-        run_reference(root, "train.py", [
-            name, "--epochs", str(epochs), "--batch_size",
-            str(batch_size), "--workers", "0", "--print_freq", "1000",
-        ] + train_flags, env_extra)
-        run_reference(root, "eval.py", [
-            ckpt, "--model_type", model_type, "--print_freq", "1000"],
-            env_extra)
-
+        # Reference-side artifacts are deterministic given the cached
+        # root (see cache_key) — skip stages whose outputs exist.
         ref_json = os.path.join(root, "eval_data",
                                 "ref_{}.json".format(stem))
-        shutil.move(os.path.join(root, "eval_data",
-                                 "{}.json".format(stem)), ref_json)
+        if not os.path.exists(os.path.join(root, "checkpoints", ckpt)):
+            run_reference(root, "train.py", [
+                name, "--epochs", str(epochs), "--batch_size",
+                str(batch_size), "--workers", "0", "--print_freq",
+                "1000"] + train_flags, env_extra)
+        if not os.path.exists(ref_json):
+            run_reference(root, "eval.py", [
+                ckpt, "--model_type", model_type, "--print_freq",
+                "1000"], env_extra)
+            shutil.move(os.path.join(root, "eval_data",
+                                     "{}.json".format(stem)), ref_json)
 
         run_ours(root, "eval.py",
                  [ckpt, "--model_type", model_type,
