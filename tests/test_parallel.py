@@ -71,13 +71,18 @@ def _run_steps(mesh, encoder, decoder, mask, imgs, caps, tp=False,
     return losses, jax.tree_util.tree_map(np.asarray, trainable)
 
 
-def test_dp_tp_matches_single_device():
+@pytest.mark.parametrize("n_data,n_model", [(4, 2), (2, 4)],
+                         ids=["4x2", "2x4"])
+def test_dp_tp_matches_single_device(n_data, n_model):
+    """Both dp x tp factorizations of the 8-device mesh reproduce
+    single-device numerics (the driver dryrun exercises only 4x2;
+    2x4 stresses the vocab-dim TP harder — V=128 over 4 shards)."""
     encoder, decoder, mask, imgs, caps = _setup()
     single = make_mesh(n_data=1, n_model=1, devices=jax.devices()[:1])
     losses_1, params_1 = _run_steps(
         single, encoder, decoder, mask, imgs, caps)
 
-    dp_tp = make_mesh(n_data=4, n_model=2)
+    dp_tp = make_mesh(n_data=n_data, n_model=n_model)
     losses_8, params_8 = _run_steps(
         dp_tp, encoder, decoder, mask, imgs, caps, tp=True)
 
