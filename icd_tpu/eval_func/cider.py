@@ -71,12 +71,28 @@ class Cider:
         n, sigma = self._n, self._sigma
         assert len(gts) == len(res)
 
+        # Duplicate reference strings share one cooked counts object —
+        # the eval protocol duplicates the single ground-truth caption
+        # per token position (reference: models/baseline.py:345-350),
+        # so cooking (and below, scoring) each copy is ~11x wasted work
+        # at corpus scale. Dedup is bit-identical: the doc_freq pass
+        # already sets over each sample's n-grams, and the scoring loop
+        # still accumulates one (cached) sim term per duplicate.
         cooked_refs = []
         cooked_tests = []
+        raw_refs = []
         for refs, hyp in zip(gts, res):
             assert isinstance(hyp, list) and len(hyp) == 1
             assert isinstance(refs, list) and len(refs) > 0
-            cooked_refs.append([ngram_counts(r, n) for r in refs])
+            cache = {}
+            cooked = []
+            for r in refs:
+                c = cache.get(r)
+                if c is None:
+                    c = cache[r] = ngram_counts(r, n)
+                cooked.append(c)
+            cooked_refs.append(cooked)
+            raw_refs.append(refs)
             cooked_tests.append(ngram_counts(hyp[0], n))
 
         # Document frequency over reference sets (one doc per image).
@@ -92,13 +108,21 @@ class Cider:
             ref_len = 1
 
         scores = []
-        for test, refs in zip(cooked_tests, cooked_refs):
+        for test, refs, raws in zip(cooked_tests, cooked_refs, raw_refs):
             vec, norm, length = _tfidf_vec(test, doc_freq, ref_len, n)
             score = np.zeros(n)
-            for ref in refs:
-                vec_r, norm_r, len_r = _tfidf_vec(ref, doc_freq, ref_len, n)
-                score += _sim(vec, vec_r, norm, norm_r, length, len_r,
-                              n, sigma)
+            sim_cache = {}
+            for ref, raw in zip(refs, raws):
+                sim = sim_cache.get(raw)
+                if sim is None:
+                    vec_r, norm_r, len_r = _tfidf_vec(ref, doc_freq,
+                                                      ref_len, n)
+                    sim = sim_cache[raw] = _sim(
+                        vec, vec_r, norm, norm_r, length, len_r, n,
+                        sigma)
+                # accumulate once PER DUPLICATE (same order, same
+                # values as the undeduped loop — bit-identical).
+                score += sim
             scores.append(float(np.mean(score)) / len(refs) * 10.0)
 
         scores = np.asarray(scores)

@@ -79,8 +79,13 @@ too very s t d ll m re ve
 def _stem(token):
     """Snowball English stem (the jar's stemmer algorithm), lazily via
     NLTK; identity when NLTK is unavailable (stem module then never
-    adds matches beyond exact)."""
+    adds matches beyond exact). Memoized — stemming is a pure function
+    of the token, and at corpus scale (202,654 eval samples) the
+    unmemoized Snowball calls were ~38% of scorer time (profiled)."""
     global _STEMMER
+    cached = _STEM_CACHE.get(token)
+    if cached is not None:
+        return cached
     if _STEMMER is None:
         try:
             from nltk.stem.snowball import SnowballStemmer
@@ -88,10 +93,15 @@ def _stem(token):
             _STEMMER = SnowballStemmer("english").stem
         except Exception:  # pragma: no cover - nltk is in the image
             _STEMMER = lambda w: w  # noqa: E731
-    return _STEMMER(token)
+    stemmed = _STEMMER(token)
+    if len(_STEM_CACHE) >= 1_000_000:  # bound host memory
+        _STEM_CACHE.clear()
+    _STEM_CACHE[token] = stemmed
+    return stemmed
 
 
 _STEMMER = None
+_STEM_CACHE = {}
 
 
 def _match_candidates(hyp, ref, use_stem):
@@ -242,7 +252,17 @@ def best_reference_stats(hyp_str, ref_strs, use_stem=False,
     hyp = hyp_str.lower().split() if lowercase else hyp_str.split()
     best = None
     best_score = -1.0
+    seen = set()
     for ref_str in ref_strs:
+        # Identical reference strings yield identical stats, and the
+        # strict '>' keeps the FIRST best, so skipping duplicates is
+        # bit-identical. The reference eval protocol duplicates the
+        # single ground-truth caption once per token position
+        # (reference: models/baseline.py:345-350), so this turns ~11
+        # alignments per sample into 1 at corpus scale.
+        if ref_str in seen:
+            continue
+        seen.add(ref_str)
         ref = (ref_str.lower() if lowercase else ref_str).split()
         s = segment_stats(hyp, ref, use_stem)
         sc = s.score()

@@ -44,7 +44,17 @@ class Rouge:
         token_c = candidate[0].split(" ")
 
         prec, rec = [], []
+        seen = set()
         for reference in refs:
+            # max() over identical references equals max() over their
+            # first occurrences, so duplicate refs are skipped without
+            # changing the result — the reference eval protocol
+            # duplicates the one ground-truth caption per token
+            # position (reference: models/baseline.py:345-350), which
+            # made the LCS DP run ~11x per sample at corpus scale.
+            if reference in seen:
+                continue
+            seen.add(reference)
             token_r = reference.split(" ")
             lcs = lcs_length(token_r, token_c)
             prec.append(lcs / float(len(token_c)))

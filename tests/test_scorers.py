@@ -117,6 +117,61 @@ def test_rouge_matches_reference(seed, n):
     np.testing.assert_allclose(ours_per, theirs_per, rtol=1e-12)
 
 
+def test_duplicated_reference_protocol_bitwise():
+    """The eval drivers duplicate the ONE ground-truth caption once per
+    token position (reference: models/baseline.py:345-350). Our scorers
+    dedupe those duplicates at corpus scale (icd_tpu/eval_func/
+    {cider,rouge,meteor_py}.py) — the dedup must be BITWISE invisible
+    vs the reference's vendored scorers on exactly that corpus shape."""
+    RefBleu, RefCider, RefRouge = _reference_scorers()
+    rng = random.Random(11)
+    gts, res = [], []
+    for _ in range(30):
+        n_tok = rng.randrange(4, 14)
+        cap = " ".join(str(rng.randrange(2, 40)) for _ in range(n_tok))
+        hyp = cap.split()
+        for i in range(len(hyp)):
+            if rng.random() < 0.3:
+                hyp[i] = str(rng.randrange(2, 40))
+        gts.append([cap] * n_tok)
+        res.append([" ".join(hyp)])
+
+    for Ours, Ref in ((Bleu, RefBleu), (Cider, RefCider),
+                      (Rouge, RefRouge)):
+        ours, ours_per = (Ours(4) if Ours is Bleu
+                          else Ours()).compute_score(gts, res)
+        theirs, theirs_per = (Ref(4) if Ref is RefBleu
+                              else Ref()).compute_score(gts, res)
+        np.testing.assert_array_equal(np.asarray(ours),
+                                      np.asarray(theirs))
+        np.testing.assert_array_equal(np.asarray(ours_per),
+                                      np.asarray(theirs_per))
+
+
+def test_meteor_py_duplicate_refs_identical_to_undeduped():
+    """best_reference_stats skips duplicate reference strings; the
+    result must equal scoring the duplicates literally."""
+    from icd_tpu.eval_func import meteor_py
+
+    rng = random.Random(13)
+    for _ in range(20):
+        n_tok = rng.randrange(3, 12)
+        cap = " ".join(str(rng.randrange(2, 30)) for _ in range(n_tok))
+        other = " ".join(str(rng.randrange(2, 30))
+                         for _ in range(rng.randrange(3, 12)))
+        hyp = " ".join(str(rng.randrange(2, 30)) for _ in range(n_tok))
+        refs = [cap] * n_tok + [other, cap]
+        fast = meteor_py.best_reference_stats(hyp, refs, use_stem=True)
+        # Literal (undeduped) evaluation path:
+        slow_best, slow_score = None, -1.0
+        for r in refs:
+            s = meteor_py.segment_stats(hyp.lower().split(),
+                                        r.lower().split(), True)
+            if s.score() > slow_score:
+                slow_best, slow_score = s, s.score()
+        assert fast.to_line() == slow_best.to_line()
+
+
 def test_lcs_against_naive():
     rng = random.Random(7)
     for _ in range(50):
