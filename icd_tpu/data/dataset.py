@@ -41,6 +41,21 @@ if os.environ.get("ICD_TPU_NATIVE_LOADER"):
 IMG_SIZE = 224  # transforms.Resize((224, 224)) in all reference drivers.
 
 
+def _image_cache_budget():
+    """Host-RAM budget (bytes) for the decoded-image cache, from
+    ICD_TPU_IMAGE_CACHE (GB; 0/unset = off).
+
+    One sample per *caption* means every image is decoded ~5x per epoch
+    on real COCO (414,113 captions / 82,783 train images, reference:
+    training_output/baseline_3.out); caching the decoded+resized uint8
+    arrays removes the repeats for ~12.5 GB (224x224x3 x 82,783) — a
+    TPU-host tradeoff the single-box reference never needed (its
+    DataLoader re-reads per item, reference: dataset.py:52-57).
+    """
+    gb = float(os.environ.get("ICD_TPU_IMAGE_CACHE", "0") or 0)
+    return int(gb * (1 << 30))
+
+
 class COCODataset:
     """One sample per caption, images re-read per item (reference: dataset.py:14)."""
 
@@ -61,6 +76,14 @@ class COCODataset:
         self.coco = COCO(self.anno_file)
         self.img_ids = list(sorted(self.coco.imgs.keys()))
         self.caption_img_mappings = self._build_caption_img_mappings()
+        # Pure-function memos (parity-invisible): decoded images keyed
+        # by id under an opt-in RAM budget; tokenized captions always
+        # (the val driver re-tokenizes every alternative caption per
+        # sample — ~25x per image at 5 captions each).
+        self._img_cache = {}
+        self._img_cache_budget = _image_cache_budget()
+        self._img_cache_bytes = 0
+        self._caption_cache = {}
 
     def _build_caption_img_mappings(self):
         mappings = []
@@ -77,17 +100,39 @@ class COCODataset:
         return self.coco.loadAnns(ann_ids)
 
     def _numericalize_caption(self, caption):
-        tokens = word_tokenize(str(caption).lower())
+        caption = str(caption)
+        cached = self._caption_cache.get(caption)
+        if cached is not None:
+            return cached
+        tokens = word_tokenize(caption.lower())
         result = [self.vocab(START_TOKEN)]
         result.extend(self.vocab(token) for token in tokens)
         result.append(self.vocab(END_TOKEN))
-        return np.asarray(result, dtype=np.int32)
+        arr = np.asarray(result, dtype=np.int32)
+        arr.flags.writeable = False  # shared across samples
+        self._caption_cache[caption] = arr
+        return arr
 
     def _img_path(self, img_id):
         return os.path.join(
             self.img_dir, self.coco.loadImgs(img_id)[0]["file_name"])
 
     def _load_img(self, img_id):
+        arr = self._img_cache.get(img_id)
+        if arr is None:
+            arr = self._decode_img(img_id)
+            if self._img_cache_bytes + arr.nbytes <= self._img_cache_budget:
+                arr.flags.writeable = False  # shared across samples
+                # dict ops are GIL-atomic; a racing duplicate decode from
+                # the loader's thread pool just overwrites with an equal
+                # array (budget accounting may overcount by one entry).
+                self._img_cache[img_id] = arr
+                self._img_cache_bytes += arr.nbytes
+        if self.img_transform is not None:
+            arr = self.img_transform(arr)
+        return arr
+
+    def _decode_img(self, img_id):
         path = self._img_path(img_id)
         arr = None
         if _native_decode is not None and path.lower().endswith(
@@ -102,8 +147,6 @@ class COCODataset:
             img = img.resize((self.img_size, self.img_size),
                              Image.BILINEAR)
             arr = np.asarray(img, dtype=np.uint8)  # (H, W, 3) uint8
-        if self.img_transform is not None:
-            arr = self.img_transform(arr)
         return arr
 
     def load_image_batch(self, img_ids):

@@ -153,6 +153,47 @@ def pad_batch_to(arrays, batch_size):
             for a in arrays] + [valid]
 
 
+def host_prefetch(iterator, size=2):
+    """Run ``iterator`` on a background thread, queueing its items.
+
+    Generic producer/consumer overlap with the same abandonment-safe
+    drain protocol as device_prefetch; use it when the caller wants to
+    control device placement itself (e.g. the eval loops ship images to
+    HBM on the producer thread but keep captions host-side for the
+    reference-protocol cleanup)."""
+    q = queue.Queue(maxsize=size)
+    _SENTINEL = object()
+    stop = threading.Event()
+
+    def producer():
+        try:
+            for item in iterator:
+                if stop.is_set():
+                    break
+                q.put(item)
+            q.put(_SENTINEL)
+        except BaseException as exc:  # propagate to the consumer
+            q.put(exc)
+
+    thread = threading.Thread(target=producer, daemon=True)
+    thread.start()
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        while thread.is_alive():
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                thread.join(0.01)
+
+
 def device_prefetch(iterator, size=2, sharding=None):
     """Prefetch host batches into device memory (double buffering).
 

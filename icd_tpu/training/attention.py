@@ -26,7 +26,8 @@ from ..checkpoint import (load_checkpoint, save_checkpoint,
                           unpack_checkpoint, wait_pending_saves)
 from ..data.dataset import COCODataset
 from ..data.pipeline import (
-    DataLoader, device_prefetch, pad_batch_to, snap_eval_batch)
+    DataLoader, device_prefetch, host_prefetch, pad_batch_to,
+    snap_eval_batch)
 from ..metric import AccumulatingMetric, get_eval_score, probe_meteor
 from ..models.attention import (
     AttentionDecoderParams, attention_decoder_forward,
@@ -363,23 +364,31 @@ def evaluate(args, encoder, decoder, batch_size=64, use_bert=False):
     num_batches = len(loader)
     start_time = time.time()
     print("Started validation...")
-    for batch_idx, batch in enumerate(iter(loader)):
-        # Batch-1 semantics: each sample's decode length is its own
-        # caption length - 1 (no padding exists at batch 1).
-        imgs, captions, lengths, valid = pad_batch_to(
-            (batch["imgs"], batch["captions"], batch["caption_lengths"]),
-            batch_size)
 
-        # True per-sample lengths strip '<pad>' words from the BERT
-        # texts: the reference evals at batch 1 where no padding exists,
-        # and BERT is bidirectional, so pad words would perturb every
-        # real position's embedding (see BertCaptionEmbedder.__call__).
-        embeddings = (bert_embedder(np.asarray(captions),
-                                    lengths=np.asarray(lengths))
-                      if bert_embedder is not None else None)
-        per_sample, preds = step(
-            encoder, decoder, imgs, captions,
-            (lengths - 1).astype(np.int32), embeddings)
+    def _staged():
+        # Producer thread: pad, run host-side BERT embedding (when
+        # enabled), and ship device inputs while the device computes
+        # the previous batch.
+        for batch in iter(loader):
+            # Batch-1 semantics: each sample's decode length is its own
+            # caption length - 1 (no padding exists at batch 1).
+            imgs, captions, lengths, valid = pad_batch_to(
+                (batch["imgs"], batch["captions"],
+                 batch["caption_lengths"]), batch_size)
+            # True per-sample lengths strip '<pad>' words from the BERT
+            # texts: the reference evals at batch 1 where no padding
+            # exists, and BERT is bidirectional, so pad words would
+            # perturb every real position's embedding (see
+            # BertCaptionEmbedder.__call__).
+            embeddings = (bert_embedder(np.asarray(captions),
+                                        lengths=np.asarray(lengths))
+                          if bert_embedder is not None else None)
+            yield (jax.device_put(imgs), jax.device_put(captions),
+                   jax.device_put((lengths - 1).astype(np.int32)),
+                   embeddings, valid, batch)
+
+    def _drain(pending, batch_idx):
+        per_sample, preds, valid, batch = pending
         per_sample = np.asarray(per_sample)[:valid]
         preds = np.asarray(preds)[:valid]
 
@@ -403,6 +412,17 @@ def evaluate(args, encoder, decoder, batch_size=64, use_bert=False):
         if batch_idx % args.print_freq == 0:
             print("Batch {}/{}, Loss {:.4f}".format(
                 batch_idx + 1, num_batches, accum_loss.avg()))
+
+    pending = None
+    for batch_idx, (imgs, captions, dec_lens, embeddings, valid,
+                    batch) in enumerate(host_prefetch(_staged(), size=2)):
+        per_sample, preds = step(encoder, decoder, imgs, captions,
+                                 dec_lens, embeddings)
+        if pending is not None:
+            _drain(pending[0], pending[1])
+        pending = ((per_sample, preds, valid, batch), batch_idx)
+    if pending is not None:
+        _drain(pending[0], pending[1])
 
     metrics = get_eval_score(references, hypotheses)
     metrics["losses"] = losses

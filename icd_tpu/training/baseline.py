@@ -32,7 +32,8 @@ from ..checkpoint import (load_checkpoint, save_checkpoint,
                           unpack_checkpoint, wait_pending_saves)
 from ..data.dataset import COCODataset
 from ..data.pipeline import (
-    DataLoader, device_prefetch, pad_batch_to, snap_eval_batch)
+    DataLoader, device_prefetch, host_prefetch, pad_batch_to,
+    snap_eval_batch)
 from ..metric import AccumulatingMetric, get_eval_score, probe_meteor
 from ..models.baseline import (
     BaselineDecoderParams, baseline_decoder_forward, init_baseline_decoder,
@@ -375,14 +376,23 @@ def evaluate(args, encoder, decoder, batch_size=64):
     num_batches = len(loader)
     start_time = time.time()
     print("Started validation...")
-    for batch_idx, batch in enumerate(iter(loader)):
-        imgs, captions, lengths, valid = pad_batch_to(
-            (batch["imgs"], batch["captions"], batch["caption_lengths"]),
-            batch_size)
 
-        per_sample, preds = step(
-            encoder, decoder, imgs, captions,
-            lengths.astype(np.float32))
+    def _staged():
+        # Producer thread: pad + ship images/captions to HBM while the
+        # device computes the previous batch (the reference's loop is
+        # strictly serial at batch 1, models/baseline.py:304-341).
+        for batch in iter(loader):
+            imgs, captions, lengths, valid = pad_batch_to(
+                (batch["imgs"], batch["captions"],
+                 batch["caption_lengths"]), batch_size)
+            yield (jax.device_put(imgs), jax.device_put(captions),
+                   jax.device_put(lengths.astype(np.float32)),
+                   valid, batch)
+
+    def _drain(pending, batch_idx):
+        # Fetch + host cleanup for the oldest in-flight batch; runs
+        # while the next batch computes on-device.
+        per_sample, preds, valid, batch = pending
         per_sample = np.asarray(per_sample)[:valid]
         preds = np.asarray(preds)[:valid]
 
@@ -404,6 +414,17 @@ def evaluate(args, encoder, decoder, batch_size=64):
         if batch_idx % args.print_freq == 0:
             print("Batch {}/{}, Loss {:.4f}".format(
                 batch_idx + 1, num_batches, accum_loss.avg()))
+
+    pending = None
+    for batch_idx, (imgs, captions, lengths, valid, batch) in enumerate(
+            host_prefetch(_staged(), size=2)):
+        per_sample, preds = step(encoder, decoder, imgs, captions,
+                                 lengths)
+        if pending is not None:
+            _drain(pending[0], pending[1])
+        pending = ((per_sample, preds, valid, batch), batch_idx)
+    if pending is not None:
+        _drain(pending[0], pending[1])
 
     metrics = get_eval_score(references, hypotheses)
     metrics["losses"] = losses

@@ -90,3 +90,53 @@ def test_device_prefetch(use_coco_root):
         assert isinstance(batch.imgs, jax.Array)
         seen += 1
     assert seen == 2
+
+
+def test_host_prefetch_order_and_error():
+    from icd_tpu.data.pipeline import host_prefetch
+
+    assert list(host_prefetch(iter(range(7)), size=2)) == list(range(7))
+
+    def boom():
+        yield 1
+        raise RuntimeError("producer died")
+
+    it = host_prefetch(boom(), size=2)
+    assert next(it) == 1
+    try:
+        next(it)
+    except RuntimeError as e:
+        assert "producer died" in str(e)
+    else:
+        raise AssertionError("expected the producer error to propagate")
+
+
+def test_image_cache(use_coco_root, monkeypatch):
+    """ICD_TPU_IMAGE_CACHE memoizes decoded images (pure function of
+    the file) within the RAM budget; samples stay byte-identical."""
+    monkeypatch.setenv("ICD_TPU_IMAGE_CACHE", "1")
+    ds = COCODataset("train", caption_max_len=-1)
+    base = COCODataset("train", caption_max_len=-1)
+    base._img_cache_budget = 0  # uncached control
+
+    decodes = []
+    orig = COCODataset._decode_img
+    monkeypatch.setattr(COCODataset, "_decode_img",
+                        lambda self, i: decodes.append(i) or orig(self, i))
+    for idx in range(len(ds)):
+        a, cap_a = ds[idx]
+        b, cap_b = base[idx]
+        np.testing.assert_array_equal(a, b)
+        np.testing.assert_array_equal(cap_a, cap_b)
+    # 8 captions over 4 images: cached dataset decodes each image once,
+    # the control re-decodes per caption sample.
+    assert decodes.count(1) == 1 + 2  # ds once + base twice
+    assert len([i for i in decodes if i]) == 4 + 8
+
+
+def test_caption_memo_identity(use_coco_root):
+    ds = COCODataset("train", caption_max_len=-1)
+    _, cap1 = ds[0]
+    _, cap2 = ds[0]
+    assert cap1 is cap2  # memoized pure tokenization
+    assert not cap1.flags.writeable
