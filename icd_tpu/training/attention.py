@@ -248,6 +248,26 @@ def train(args, mesh=None):
                 sharding=lambda x: (
                     batch_sharding(mesh, x.ndim)
                     if x.shape[0] % n_data == 0 else replicated(mesh)))
+            def _finish(loss, batch_idx):
+                # Deferred one step: fetching the loss synchronizes with
+                # the remote device (~30-60 ms tunnel roundtrip,
+                # CLAUDE.md), so batch k's fetch runs only after batch
+                # k+1 is dispatched. Print content/order is unchanged.
+                nonlocal start
+                loss_val = float(loss)
+                batch_losses.append(loss_val)
+                accum_loss.update(loss_val)
+                accum_time.update(time.time() - start)
+                if batch_idx % args.print_freq == 0:
+                    print(
+                        "Epoch {}/{}, Batch {}/{}, Loss {:.4f}, "
+                        "Time: {:.4f}".format(
+                            epoch + 1, args.epochs, batch_idx + 1,
+                            num_batches, accum_loss.avg(),
+                            accum_time.val))
+                start = time.time()
+
+            pending = None
             for batch_idx, batch in enumerate(batches):
                 step_rng, rng_t = jax.random.split(step_rng)
                 # Reference quirk: lengths measured after padding ->
@@ -258,18 +278,11 @@ def train(args, mesh=None):
                     trainable, frozen, opt_state, rng_t,
                     batch["imgs"], batch["captions"], decode_lengths,
                     batch.get("embeddings"))
-
-                loss_val = float(loss)
-                batch_losses.append(loss_val)
-                accum_loss.update(loss_val)
-                accum_time.update(time.time() - start)
-                if batch_idx % args.print_freq == 0:
-                    print(
-                        "Epoch {}/{}, Batch {}/{}, Loss {:.4f}, "
-                        "Time: {:.4f}".format(
-                            epoch + 1, args.epochs, batch_idx + 1,
-                            num_batches, accum_loss.avg(), accum_time.val))
-                start = time.time()
+                if pending is not None:
+                    _finish(*pending)
+                pending = (loss, batch_idx)
+            if pending is not None:
+                _finish(*pending)
 
             epoch_losses.append(batch_losses)
             metrics = {"epoch_losses": epoch_losses}

@@ -291,11 +291,12 @@ def train(args, mesh=None):
                 sharding=lambda x: (
                     batch_sharding(mesh, x.ndim)
                     if x.shape[0] % n_data == 0 else replicated(mesh)))
-            for batch_idx, batch in enumerate(batches):
-                trainable, frozen, opt_state, loss = step_fn(
-                    trainable, frozen, opt_state,
-                    batch["imgs"], batch["captions"])
-
+            def _finish(loss, batch_idx):
+                # Deferred one step: fetching the loss synchronizes with
+                # the remote device (~30-60 ms tunnel roundtrip,
+                # CLAUDE.md), so batch k's fetch runs only after batch
+                # k+1 is dispatched. Print content/order is unchanged.
+                nonlocal start
                 loss_val = float(loss)
                 batch_losses.append(loss_val)
                 accum_loss.update(loss_val)
@@ -305,8 +306,20 @@ def train(args, mesh=None):
                         "Epoch {}/{}, Batch {}/{}, Loss {:.4f}, "
                         "Time: {:.4f}".format(
                             epoch + 1, args.epochs, batch_idx + 1,
-                            num_batches, accum_loss.avg(), accum_time.val))
+                            num_batches, accum_loss.avg(),
+                            accum_time.val))
                 start = time.time()
+
+            pending = None
+            for batch_idx, batch in enumerate(batches):
+                trainable, frozen, opt_state, loss = step_fn(
+                    trainable, frozen, opt_state,
+                    batch["imgs"], batch["captions"])
+                if pending is not None:
+                    _finish(*pending)
+                pending = (loss, batch_idx)
+            if pending is not None:
+                _finish(*pending)
 
             epoch_losses.append(batch_losses)
             metrics = {"epoch_losses": epoch_losses}
