@@ -98,10 +98,15 @@ class BertCaptionEmbedder:
     """
 
     def __init__(self, vocab, model=None, tokenizer=None, cache_size=50000,
-                 device=False):
+                 device=False, int8=False):
         self.vocab = vocab
         self._cache = {}
         self._cache_size = cache_size
+        # Per-WORD wordpiece memo (see _word_pieces). Unbounded on
+        # purpose: its keyspace is the caption vocabulary (~10k types on
+        # real COCO, reference vocabulary.py:38-60), not the caption
+        # space, so it saturates within the first few hundred batches.
+        self._word_memo = {}
         if model is None or tokenizer is None:
             model, tokenizer = _load_default_bert()
         self.model = model
@@ -115,7 +120,7 @@ class BertCaptionEmbedder:
             # reference attention.py:166-215).
             from .bert_jax import JaxBert
 
-            self.jax_bert = JaxBert(model)
+            self.jax_bert = JaxBert(model, int8=int8)
 
     def _embed_texts(self, texts):
         """Run BERT over a batch of '[CLS] ...' texts; returns per-text
@@ -208,18 +213,63 @@ class BertCaptionEmbedder:
             self._cache.update(needed)
         self._cache.update(fresh)
 
+    def _word_pieces(self, word):
+        """Per-WORD wordpiece memo: word -> (piece ids, clean).
+
+        BertTokenizer's BasicTokenizer splits on whitespace before
+        wordpiece runs per basic token, and special tokens like '[CLS]'
+        are never-split — so tokenizing a whitespace word in isolation
+        yields exactly its slice of the full-caption tokenization
+        (equivalence tested against the full tokenize in
+        tests/test_bert_embed.py). ``clean`` records whether the
+        reference alignment walk (piece_word_segments), run on just this
+        word's pieces, would break exactly at the last piece: when every
+        word of a caption is clean, the caption's walk is provably the
+        per-word concatenation, and the per-caption tokenizer call +
+        Python walk (the measured hot host cost of --use_bert training,
+        tools/bench_bert.py) collapse to dict lookups. Any non-clean
+        word (normalizing wordpieces, early target match, empty piece
+        list) routes the whole caption to the exact slow walk, so the
+        degradation semantics documented on piece_word_segments are
+        preserved bit-for-bit."""
+        hit = self._word_memo.get(word)
+        if hit is None:
+            pieces = self.tokenizer.tokenize(word)
+            ids = np.asarray(
+                self.tokenizer.convert_tokens_to_ids(pieces), np.int32)
+            target = word.replace("#", "").lower()
+            built, clean = "", False
+            for n, piece in enumerate(pieces):
+                built += piece.replace("#", "")
+                if built.lower() == target or piece == "[UNK]":
+                    clean = n == len(pieces) - 1
+                    break
+            hit = self._word_memo[word] = (ids, clean)
+        return hit
+
     def _tokenize_rows(self, keys):
         """Memoized host string work: caption key -> (piece ids, seg)."""
         missing = [k for k in dict.fromkeys(keys) if k not in self._cache]
         if missing:
             fresh = {}
             for k in missing:
-                text = "[CLS] " + " ".join(self.vocab.i2w[t] for t in k)
-                pieces = self.tokenizer.tokenize(text)
-                ids = np.asarray(
-                    self.tokenizer.convert_tokens_to_ids(pieces),
-                    np.int32)
-                seg = piece_word_segments(text.split(), pieces)
+                words = ["[CLS]"] + [self.vocab.i2w[t] for t in k]
+                per_word = [self._word_pieces(w) for w in words]
+                if all(clean for _, clean in per_word):
+                    ids = np.concatenate([w_ids for w_ids, _ in per_word])
+                    seg = np.repeat(
+                        np.arange(len(words), dtype=np.int32),
+                        [len(w_ids) for w_ids, _ in per_word])
+                else:
+                    text = " ".join(words)
+                    pieces = self.tokenizer.tokenize(text)
+                    ids = np.asarray(
+                        self.tokenizer.convert_tokens_to_ids(pieces),
+                        np.int32)
+                    # text.split(), not ``words``: an (anomalous) empty
+                    # vocab word vanishes in the joined text, and the
+                    # walk must see the same word list it always did.
+                    seg = piece_word_segments(text.split(), pieces)
                 fresh[k] = (ids, seg)
             self._merge_cache(keys, fresh)
         return [self._cache[k] for k in keys]

@@ -74,6 +74,50 @@ def bert_from_torch(model):
     return params, config
 
 
+def quantize_bert_params(params):
+    """f32 BERT pytree -> W8A8 variant: each Linear's (in, out) weight
+    becomes per-output-channel int8 + f32 scale (ops/qlinear.py), biases
+    and LayerNorm/embedding tables stay f32.
+
+    Rationale: the 12 encoder layers are matmul-dominated (q/k/v/o at
+    768x768, FFN at 768x3072/3072x768 — ~97% of layer FLOPs), the v5e
+    MXU runs s8xs8 at 2x bf16 throughput, and weight HBM traffic halves.
+    Activations are quantized dynamically per row at trace time inside
+    ``_apply_lin`` (LayerNormed inputs are well-ranged, and the rows are
+    (B*L,)-sized so the abs-max pass is noise). The attention einsums
+    (softmax scores/context) stay float: they are L x L-shaped, tiny,
+    and precision-critical. This is a TPU-native extension — the
+    reference runs f32 torch BERT on the host inside its train loop
+    (reference: models/attention.py:96-100, 166-215)."""
+    from ..ops.qlinear import quantize_linear
+
+    def q(lin):
+        wq, ws = quantize_linear(jnp.asarray(lin["w"]))
+        return {"wq": np.asarray(wq), "ws": np.asarray(ws),
+                "b": lin["b"]}
+
+    out = {k: params[k] for k in ("word", "pos", "type", "ln_emb")}
+    out["layers"] = [
+        {"q": q(l["q"]), "k": q(l["k"]), "v": q(l["v"]), "o": q(l["o"]),
+         "ln_att": l["ln_att"], "ffn_in": q(l["ffn_in"]),
+         "ffn_out": q(l["ffn_out"]), "ln_out": l["ln_out"]}
+        for l in params["layers"]]
+    return out
+
+
+def _apply_lin(x, lin):
+    """x @ w + b, dispatching on quantized vs f32 weights. Identical
+    quantize_rows subgraphs over the same hidden (q/k/v share an input)
+    are CSE'd by XLA, so the dynamic activation quant costs one pass."""
+    if "wq" in lin:
+        from ..ops.qlinear import qmatmul
+
+        flat = x.reshape(-1, x.shape[-1])
+        out = qmatmul(flat, lin["wq"], lin["ws"]) + lin["b"]
+        return out.reshape(x.shape[:-1] + (out.shape[-1],))
+    return x @ lin["w"] + lin["b"]
+
+
 def _layer_norm(x, ln, eps):
     mean = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
@@ -102,20 +146,19 @@ def bert_encoder_forward(params, input_ids, attention_mask, num_heads=12,
             0, 2, 1, 3)
 
     for layer in params["layers"]:
-        q = heads(hidden @ layer["q"]["w"] + layer["q"]["b"])
-        k = heads(hidden @ layer["k"]["w"] + layer["k"]["b"])
-        v = heads(hidden @ layer["v"]["w"] + layer["v"]["b"])
+        q = heads(_apply_lin(hidden, layer["q"]))
+        k = heads(_apply_lin(hidden, layer["k"]))
+        v = heads(_apply_lin(hidden, layer["v"]))
         scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale + bias
         probs = jax.nn.softmax(scores, axis=-1)
         ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
         ctx = ctx.transpose(0, 2, 1, 3).reshape(b, length, h_dim)
-        att_out = ctx @ layer["o"]["w"] + layer["o"]["b"]
+        att_out = _apply_lin(ctx, layer["o"])
         hidden = _layer_norm(hidden + att_out, layer["ln_att"], ln_eps)
 
         inter = jax.nn.gelu(
-            hidden @ layer["ffn_in"]["w"] + layer["ffn_in"]["b"],
-            approximate=False)
-        ffn_out = inter @ layer["ffn_out"]["w"] + layer["ffn_out"]["b"]
+            _apply_lin(hidden, layer["ffn_in"]), approximate=False)
+        ffn_out = _apply_lin(inter, layer["ffn_out"])
         hidden = _layer_norm(hidden + ffn_out, layer["ln_out"], ln_eps)
 
     return hidden
@@ -159,8 +202,10 @@ class JaxBert:
     per step otherwise; real hosts still save the PCIe hop).
     """
 
-    def __init__(self, torch_model, bucket=16):
+    def __init__(self, torch_model, bucket=16, int8=False):
         self.params, cfg = bert_from_torch(torch_model)
+        if int8:
+            self.params = quantize_bert_params(self.params)
         self.params = jax.tree_util.tree_map(jnp.asarray, self.params)
         self.bucket = bucket
         self._fwd = jax.jit(

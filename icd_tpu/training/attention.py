@@ -172,9 +172,12 @@ def train(args, mesh=None):
 
         # Device-resident BERT forward by default (the host torch
         # forward is 15x the train step on CPU, NOTES.md);
-        # ICD_TPU_BERT_HOST=1 keeps the reference-style host path.
+        # ICD_TPU_BERT_HOST=1 keeps the reference-style host path;
+        # ICD_TPU_BERT_INT8=1 additionally quantizes the device BERT's
+        # linears to W8A8 (models/bert_jax.quantize_bert_params).
         bert_embedder = BertCaptionEmbedder(
-            vocab, device=not _os.environ.get("ICD_TPU_BERT_HOST"))
+            vocab, device=not _os.environ.get("ICD_TPU_BERT_HOST"),
+            int8=bool(_os.environ.get("ICD_TPU_BERT_INT8")))
 
     mask = {
         # The attention encoder has no head; with the backbone frozen the

@@ -164,6 +164,60 @@ def test_lengths_strip_pads_like_batch1(tiny_bert, caption_vocab, device):
     assert np.abs(np.asarray(padded)[1, :4] - out[1, :4]).max() > 1e-4
 
 
+def test_word_memo_matches_full_tokenize(tiny_bert, tmp_path):
+    """_tokenize_rows' per-word fast path must be bit-identical to the
+    original per-caption tokenize + piece_word_segments walk — including
+    words that defeat the fast path: 'café' (wordpiece NORMALIZES to
+    'cafe', so the walk never reconciles) and 'a#' (the '#'-stripped
+    target matches EARLY, leaving a piece unconsumed). Both must route
+    the caption to the exact slow walk and reproduce its degraded seg."""
+    from transformers import BertConfig, BertModel, BertTokenizer
+
+    vocab_path = tmp_path / "vocab.txt"
+    vocab_path.write_text("\n".join(WORDPIECES + ["cafe", "#"]))
+    tokenizer = BertTokenizer(str(vocab_path), do_lower_case=True)
+    import torch as _torch
+
+    _torch.manual_seed(0)
+    config = BertConfig(
+        vocab_size=len(WORDPIECES) + 2, hidden_size=16,
+        num_hidden_layers=1, num_attention_heads=2,
+        intermediate_size=32, max_position_embeddings=64)
+    model = BertModel(config).eval()
+
+    v = Vocabulary()
+    v.add_word(PAD_TOKEN)
+    for w in ["a", "man", "riding", "horse", "café", "a#", "."]:
+        v.add_word(w)
+    v.add_word(START_TOKEN)
+    v.add_word(END_TOKEN)
+    v.add_word(UNK_TOKEN)
+
+    embedder = BertCaptionEmbedder(v, model=model, tokenizer=tokenizer)
+    captions = [
+        [v("<start>"), v("a"), v("man"), v("riding"), v("<end>")],
+        [v("<start>"), v("café"), v("horse"), v("<end>"), v("<pad>")],
+        [v("<start>"), v("a#"), v("man"), v("<end>"), v("<pad>")],
+        [v("<start>"), v("zzz"), v("."), v("<end>"), v("<pad>")],
+    ]
+    keys = [tuple(row) for row in captions]
+    rows = embedder._tokenize_rows(keys)
+    assert len(embedder._word_memo) > 0
+    clean_flags = {w: c for w, (_, c) in embedder._word_memo.items()}
+    assert clean_flags["café"] is False
+    assert clean_flags["a#"] is False
+    assert clean_flags["riding"] is True
+
+    for key, (ids, seg) in zip(keys, rows):
+        text = "[CLS] " + " ".join(v.i2w[t] for t in key)
+        pieces = tokenizer.tokenize(text)
+        want_ids = np.asarray(
+            tokenizer.convert_tokens_to_ids(pieces), np.int32)
+        want_seg = piece_word_segments(text.split(), pieces)
+        np.testing.assert_array_equal(ids, want_ids)
+        np.testing.assert_array_equal(seg, want_seg)
+
+
 @pytest.mark.parametrize("device", [False, True])
 def test_eviction_keeps_current_batch(tiny_bert, caption_vocab, device):
     """Overflow eviction must not drop entries the CURRENT batch needs:

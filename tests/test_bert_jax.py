@@ -76,6 +76,74 @@ def test_jaxbert_bucketing_invariant(torch_bert):
     np.testing.assert_allclose(out7, ref, atol=2e-5)
 
 
+def test_int8_forward_close_to_f32(torch_bert):
+    """W8A8 BERT (quantize_bert_params + _apply_lin dispatch) tracks the
+    f32 forward: per-output-channel int8 weights + dynamic per-row
+    activation quant keep the hidden states within quantization noise.
+    The bound is loose by design (int8 IS lossy); what the test pins is
+    that the q/dq plumbing is wired to the right scales — a transposed
+    scale or dropped bias blows past it by orders of magnitude."""
+    import jax.numpy as jnp
+
+    from icd_tpu.models.bert_jax import quantize_bert_params
+
+    params, cfg = bert_from_torch(torch_bert)
+    rng = np.random.default_rng(4)
+    ids = rng.integers(0, 43, (3, 11)).astype(np.int32)
+    attn = np.ones((3, 11), np.int32)
+    f32 = np.asarray(bert_encoder_forward(
+        jax.tree_util.tree_map(jnp.asarray, params), jnp.asarray(ids),
+        jnp.asarray(attn), num_heads=cfg["num_heads"],
+        ln_eps=cfg["ln_eps"]))
+    q = np.asarray(bert_encoder_forward(
+        jax.tree_util.tree_map(jnp.asarray, quantize_bert_params(params)),
+        jnp.asarray(ids), jnp.asarray(attn), num_heads=cfg["num_heads"],
+        ln_eps=cfg["ln_eps"]))
+    assert q.dtype == np.float32
+    err = np.abs(q - f32).max()
+    scale = np.abs(f32).max()
+    assert err < 0.05 * scale, (err, scale)
+    # Cosine similarity per position stays near 1.
+    dots = (q * f32).sum(-1)
+    norms = np.linalg.norm(q, axis=-1) * np.linalg.norm(f32, axis=-1)
+    assert (dots / norms).min() > 0.999
+
+
+def test_embedder_int8_device_close_to_host(torch_bert):
+    """BertCaptionEmbedder(device=True, int8=True) end-to-end: aligned
+    embeddings stay within int8 noise of the torch host path."""
+    from icd_tpu.models.bert_embed import BertCaptionEmbedder
+    from icd_tpu.vocabulary import (
+        END_TOKEN, PAD_TOKEN, START_TOKEN, UNK_TOKEN, Vocabulary)
+    from transformers import BertTokenizer
+    import os
+    import tempfile
+
+    wordpieces = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "a", "man", "rid",
+                  "##ing", "horse", "<", "start", "end", "pad", "unk",
+                  ">"]
+    vp = os.path.join(tempfile.mkdtemp(), "vocab.txt")
+    with open(vp, "w") as f:
+        f.write("\n".join(wordpieces))
+    tokenizer = BertTokenizer(vp, do_lower_case=True)
+    v = Vocabulary()
+    v.add_word(PAD_TOKEN)
+    for w in ["a", "man", "riding", "horse"]:
+        v.add_word(w)
+    v.add_word(START_TOKEN)
+    v.add_word(END_TOKEN)
+    v.add_word(UNK_TOKEN)
+    captions = np.asarray(
+        [[v(START_TOKEN), v("a"), v("man"), v("riding"), v("horse"),
+          v(END_TOKEN)]], np.int32)
+    host = BertCaptionEmbedder(v, model=torch_bert, tokenizer=tokenizer)
+    dev8 = BertCaptionEmbedder(v, model=torch_bert, tokenizer=tokenizer,
+                               device=True, int8=True)
+    a = np.asarray(dev8(captions))
+    b = host(captions)
+    assert np.abs(a - b).max() < 0.05 * np.abs(b).max()
+
+
 def test_embedder_device_equals_host(torch_bert):
     """BertCaptionEmbedder(device=True) produces the same aligned
     embeddings as the torch host path."""
