@@ -42,8 +42,8 @@ from ..models.encoder import (
     encoder_forward, encoder_forward_int8, init_encoder, trainable_mask)
 from ..parallel.mesh import batch_sharding, make_data_mesh, replicated
 from ..training.common import (
-    cast_floating, cross_entropy, make_optimizer, merge, merge_bn_stats,
-    partition)
+    LossDrain, cast_floating, cross_entropy, make_optimizer, merge,
+    merge_bn_stats, partition)
 from ..utils.profiling import maybe_profile
 from ..vocabulary import END_TOKEN, PAD_TOKEN, START_TOKEN
 
@@ -283,7 +283,6 @@ def train(args, mesh=None):
             batch_losses = []
             accum_loss = AccumulatingMetric()
             accum_time = AccumulatingMetric()
-            start = time.time()
 
             n_data = mesh.shape.get("data", 1)
             batches = device_prefetch(
@@ -291,16 +290,13 @@ def train(args, mesh=None):
                 sharding=lambda x: (
                     batch_sharding(mesh, x.ndim)
                     if x.shape[0] % n_data == 0 else replicated(mesh)))
-            def _finish(loss, batch_idx):
-                # Deferred one step: fetching the loss synchronizes with
-                # the remote device (~30-60 ms tunnel roundtrip,
-                # CLAUDE.md), so batch k's fetch runs only after batch
-                # k+1 is dispatched. Print content/order is unchanged.
-                nonlocal start
-                loss_val = float(loss)
+            def _finish(loss_val, batch_idx, dt):
+                # Called by the LossDrain with the fetched scalar and the
+                # batch's dispatch-to-dispatch interval; print content
+                # and order match the reference per batch.
                 batch_losses.append(loss_val)
                 accum_loss.update(loss_val)
-                accum_time.update(time.time() - start)
+                accum_time.update(dt)
                 if batch_idx % args.print_freq == 0:
                     print(
                         "Epoch {}/{}, Batch {}/{}, Loss {:.4f}, "
@@ -308,18 +304,14 @@ def train(args, mesh=None):
                             epoch + 1, args.epochs, batch_idx + 1,
                             num_batches, accum_loss.avg(),
                             accum_time.val))
-                start = time.time()
 
-            pending = None
+            drain = LossDrain(_finish)
             for batch_idx, batch in enumerate(batches):
                 trainable, frozen, opt_state, loss = step_fn(
                     trainable, frozen, opt_state,
                     batch["imgs"], batch["captions"])
-                if pending is not None:
-                    _finish(*pending)
-                pending = (loss, batch_idx)
-            if pending is not None:
-                _finish(*pending)
+                drain.push(loss, batch_idx)
+            drain.flush()
 
             epoch_losses.append(batch_losses)
             metrics = {"epoch_losses": epoch_losses}

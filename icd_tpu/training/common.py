@@ -15,6 +15,9 @@ instead of masked to zero, so XLA never builds the ResNet-101 backward
 pass when the encoder is frozen — the common case.
 """
 
+import os
+import time
+
 import jax
 import jax.numpy as jnp
 import optax
@@ -23,6 +26,50 @@ import optax
 # ---------------------------------------------------------------------------
 # Pytree partition/merge by boolean mask
 # ---------------------------------------------------------------------------
+
+
+class LossDrain:
+    """Blocked loss fetcher for the per-batch-loss train loops.
+
+    The reference records (and prints) a loss for EVERY batch
+    (models/baseline.py:245-258); fetching each scalar individually
+    synchronizes with the remote device, and through the axon tunnel a
+    scalar fetch is a ~30 ms roundtrip — at the acceptance corpus's
+    12,942 batches/epoch that is ~6 min of pure fetch latency
+    (measured: 28.9 ms/step per-batch vs 2.8 ms/step fetching blocks
+    of 16 via one jax.device_get, rehearsal notes). This drain keeps
+    the per-batch loss VALUES and print lines bit-identical while
+    amortizing the roundtrip: device scalars queue up and are fetched
+    ``block`` at a time (ICD_TPU_LOSS_FETCH_BLOCK overrides; 1 restores
+    the strictly-deferred-by-one behavior).
+
+    The per-batch "Time:" column reports the dispatch-to-dispatch
+    interval (host pacing), which is what the deferred fetch was
+    already approximating.
+    """
+
+    def __init__(self, finish, block=None):
+        if block is None:
+            block = int(os.environ.get("ICD_TPU_LOSS_FETCH_BLOCK", "16"))
+        self.block = max(1, block)
+        self.finish = finish  # finish(loss_val, batch_idx, dt_seconds)
+        self._pending = []  # [(device_loss, batch_idx, dispatch_t)]
+        self._last_t = time.time()
+
+    def push(self, device_loss, batch_idx):
+        now = time.time()
+        self._pending.append((device_loss, batch_idx, now - self._last_t))
+        self._last_t = now
+        if len(self._pending) >= self.block:
+            self.flush()
+
+    def flush(self):
+        if not self._pending:
+            return
+        vals = jax.device_get([p[0] for p in self._pending])
+        for val, (_, batch_idx, dt) in zip(vals, self._pending):
+            self.finish(float(val), batch_idx, dt)
+        self._pending = []
 
 def partition(tree, mask):
     """Split a pytree into (trainable, frozen) by a same-shaped bool mask.
