@@ -135,6 +135,24 @@ class DataLoader:
                 yield self._collate([f.result() for f in futs])
 
 
+def eval_workers():
+    """Loader thread-pool width for the eval drivers.
+
+    The reference evaluates at batch 1 with no loader workers
+    (models/baseline.py:267-374), so there is no flag to mirror; the
+    host image decode is the measured bottleneck of the batched eval
+    loop on few-core hosts (NOTES.md "acceptance rehearsal"), so the
+    width follows the core count (min 2 keeps decode overlapped with
+    the device step even on a 1-core container). ICD_TPU_EVAL_WORKERS
+    overrides."""
+    import os
+
+    env = os.environ.get("ICD_TPU_EVAL_WORKERS")
+    if env:
+        return max(1, int(env))
+    return max(2, os.cpu_count() or 1)
+
+
 def snap_eval_batch(dataset_len, batch_size):
     """Clamp the eval device batch to a power-of-two tier covering the
     dataset, so dataset size doesn't mint unique XLA shapes."""

@@ -26,8 +26,8 @@ from ..checkpoint import (load_checkpoint, save_checkpoint,
                           unpack_checkpoint, wait_pending_saves)
 from ..data.dataset import COCODataset
 from ..data.pipeline import (
-    DataLoader, device_prefetch, host_prefetch, pad_batch_to,
-    snap_eval_batch)
+    DataLoader, device_prefetch, eval_workers, host_prefetch,
+    pad_batch_to, snap_eval_batch)
 from ..metric import AccumulatingMetric, get_eval_score, probe_meteor
 from ..models.attention import (
     AttentionDecoderParams, attention_decoder_forward,
@@ -360,8 +360,9 @@ def evaluate(args, encoder, decoder, batch_size=64, use_bert=False):
 
     batch_size = snap_eval_batch(len(dataset), batch_size)
     loader = DataLoader(
-        dataset, batch_size=batch_size, shuffle=True, num_workers=2,
-        pad_idx=vocab(PAD_TOKEN), drop_last=False)
+        dataset, batch_size=batch_size, shuffle=True,
+        num_workers=eval_workers(), pad_idx=vocab(PAD_TOKEN),
+        drop_last=False)
 
     encoder = jax.tree_util.tree_map(jnp.asarray, encoder)
     decoder = jax.tree_util.tree_map(jnp.asarray, decoder)

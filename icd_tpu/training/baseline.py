@@ -32,8 +32,8 @@ from ..checkpoint import (load_checkpoint, save_checkpoint,
                           unpack_checkpoint, wait_pending_saves)
 from ..data.dataset import COCODataset
 from ..data.pipeline import (
-    DataLoader, device_prefetch, host_prefetch, pad_batch_to,
-    snap_eval_batch)
+    DataLoader, device_prefetch, eval_workers, host_prefetch,
+    pad_batch_to, snap_eval_batch)
 from ..metric import AccumulatingMetric, get_eval_score, probe_meteor
 from ..models.baseline import (
     BaselineDecoderParams, baseline_decoder_forward, init_baseline_decoder,
@@ -369,8 +369,9 @@ def evaluate(args, encoder, decoder, batch_size=64):
 
     batch_size = snap_eval_batch(len(dataset), batch_size)
     loader = DataLoader(
-        dataset, batch_size=batch_size, shuffle=True, num_workers=2,
-        pad_idx=vocab(PAD_TOKEN), drop_last=False)
+        dataset, batch_size=batch_size, shuffle=True,
+        num_workers=eval_workers(), pad_idx=vocab(PAD_TOKEN),
+        drop_last=False)
 
     encoder = jax.tree_util.tree_map(jnp.asarray, encoder)
     decoder = jax.tree_util.tree_map(jnp.asarray, decoder)
