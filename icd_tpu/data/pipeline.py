@@ -143,14 +143,20 @@ def eval_workers():
     host image decode is the measured bottleneck of the batched eval
     loop on few-core hosts (NOTES.md "acceptance rehearsal"), so the
     width follows the core count (min 2 keeps decode overlapped with
-    the device step even on a 1-core container). ICD_TPU_EVAL_WORKERS
-    overrides."""
+    the device step even on a 1-core container; capped at 32 — the
+    DEPTH=2 loader pipeline can only keep ~2 batches of item futures
+    outstanding, so a 128-thread pool on a many-core host is pure
+    overhead). ICD_TPU_EVAL_WORKERS overrides; a malformed value falls
+    back to the default."""
     import os
 
     env = os.environ.get("ICD_TPU_EVAL_WORKERS")
     if env:
-        return max(1, int(env))
-    return max(2, os.cpu_count() or 1)
+        try:
+            return max(1, int(env))
+        except ValueError:
+            pass
+    return min(32, max(2, os.cpu_count() or 1))
 
 
 def snap_eval_batch(dataset_len, batch_size):

@@ -40,12 +40,17 @@ class LossDrain:
     of 16 via one jax.device_get, rehearsal notes). This drain keeps
     the per-batch loss VALUES and print lines bit-identical while
     amortizing the roundtrip: device scalars queue up and are fetched
-    ``block`` at a time (ICD_TPU_LOSS_FETCH_BLOCK overrides; 1 restores
-    the strictly-deferred-by-one behavior).
+    ``block`` at a time (ICD_TPU_LOSS_FETCH_BLOCK overrides; 1 makes
+    every push flush immediately, i.e. a fully synchronous per-step
+    fetch with zero overlap — the most conservative setting, not the
+    old deferred-by-one pipeline).
 
     The per-batch "Time:" column reports the dispatch-to-dispatch
     interval (host pacing), which is what the deferred fetch was
-    already approximating.
+    already approximating. Note the sync stall of each block flush
+    lands in the NEXT batch's dt, so printed per-batch times oscillate
+    around the true mean (block-1 small values, then one larger one);
+    the per-epoch totals and every loss VALUE remain exact.
     """
 
     def __init__(self, finish, block=None):

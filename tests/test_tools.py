@@ -62,10 +62,12 @@ def test_greedy_eval(coco_root, demo_checkpoint, tmp_path):
 
 
 def test_beam_eval(coco_root, demo_checkpoint, tmp_path):
-    """Batched beam-search captioner over the val split (f32 on CPU)."""
+    """Batched beam-search captioner over the val split (f32 on CPU,
+    --no-int8 = the reference-numerics opt-out; the int8-encoder default
+    path is covered by tests/test_int8_parity.py)."""
     out_json = str(tmp_path / "beam.json")
     out = _run("beam_eval.py", demo_checkpoint, "--beam_size", "2",
-               "--batch_size", "2", "--dtype", "f32",
+               "--batch_size", "2", "--dtype", "f32", "--no-int8",
                "--out", out_json, root=coco_root)
     assert out.returncode == 0, out.stderr[-3000:]
     with open(out_json) as f:

@@ -31,6 +31,7 @@ import argparse
 import json
 import os
 import re
+import shutil
 import subprocess
 import sys
 import time
@@ -101,10 +102,16 @@ def main(argv=None):
         root, "rehearsal_{}.json".format(args.model))
     env = dict(os.environ, ICD_TPU_ROOT=root,
                ICD_TPU_IMAGE_CACHE=str(args.image_cache_gb))
-    # Scoring backend for the eval phase: pure-Python METEOR 1.5 unless
-    # a real jar+java pair is available (tools/acceptance.py picks the
-    # same way).
-    env.setdefault("ICD_TPU_METEOR_PY", "1")
+    # Scoring backend for the eval phase: same pecking order as
+    # tools/acceptance.py — the real jar+java pair when both exist,
+    # else the pure-Python METEOR 1.5.
+    jar = env.get("METEOR_JAR") or os.path.join(
+        REPO_ROOT, "..", "reference", "eval_func", "meteor",
+        "meteor-1.5.jar")
+    if os.path.exists(jar) and shutil.which("java"):
+        env["METEOR_JAR"] = jar
+    else:
+        env.setdefault("ICD_TPU_METEOR_PY", "1")
     if args.native_loader:
         env["ICD_TPU_NATIVE_LOADER"] = "1"
 

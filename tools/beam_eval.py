@@ -9,6 +9,10 @@ tooling consumes.
 
 Usage: python tools/beam_eval.py <attention checkpoint> [--beam_size 5]
        [--batch_size 64] [--out eval_data/<name>_beam.json]
+
+Defaults to the fastest measured config (static-int8 encoder + bf16
+beam, README beam rows); ``--no-int8 --dtype f32`` is the
+reference-numerics parity opt-out.
 """
 
 import argparse
@@ -32,9 +36,15 @@ def main():
                         choices=["bf16", "f32"],
                         help="compute dtype (bf16 is the TPU serving "
                              "default; f32 matches reference numerics)")
-    parser.add_argument("--int8", action="store_true",
+    parser.add_argument("--int8", action=argparse.BooleanOptionalAction,
+                        default=True,
                         help="static-calibration int8 encoder backbone "
-                             "(calibrated on the first val batch)")
+                             "(calibrated on the first val batch). ON by "
+                             "default — the fastest measured beam config "
+                             "(README beam rows) at proven caption-parity "
+                             "floors (tests/test_int8_parity.py); "
+                             "--no-int8 --dtype f32 is the reference-"
+                             "numerics parity opt-out")
     parser.add_argument("--fused", action="store_true",
                         help="decode with the fused Pallas beam kernel "
                              "(ops/fused_beam.py): all 51 steps in one "

@@ -37,6 +37,10 @@ BATTERY = [
      1800),
     ("int8_decoder", [sys.executable, "tools/bench_int8.py"], 1800),
     ("beam", [sys.executable, "tools/bench_beam.py"], 3600),
+    # bert family rows (device-only; the host-torch rows are ~10 min
+    # and stable session to session — tools/bench_bert.py --skip-host).
+    ("train_bert",
+     [sys.executable, "tools/bench_bert.py", "--skip-host"], 3600),
 ]
 
 
