@@ -65,6 +65,12 @@ class COCODataset:
 
         self.mode = mode
         self.img_transform = img_transform
+        # Opt-in: train-mode items also carry their img_id (third
+        # element) so the loader can collate per-batch image identity —
+        # consumed by the device-side unique-image cache
+        # (data.pipeline.DeviceImageCache). Off by default: the
+        # reference dataset yields (img, caption) (dataset.py:66-67).
+        self.return_ids = False
         self.vocab = vocab if vocab is not None else load_vocab()
         # Note: caption_max_len filters on *character* length of the raw
         # caption string, matching dataset.py:33-34; -1 means no filter.
@@ -164,6 +170,8 @@ class COCODataset:
         caption = self._numericalize_caption(caption)
 
         if self.mode == "train":
+            if self.return_ids:
+                return img, caption, img_id
             return img, caption
         all_captions = [self._numericalize_caption(ann["caption"])
                         for ann in self._get_annotations(img_id)]

@@ -86,6 +86,7 @@ class DataLoader:
 
     def _collate(self, items):
         is_val = len(items[0]) == 4
+        with_ids = len(items[0]) == 3  # train mode + dataset.return_ids
         imgs = np.stack([item[0] for item in items], axis=0)
         captions = [item[1] for item in items]
         max_len = self._padded_len(captions)
@@ -99,6 +100,8 @@ class DataLoader:
         if is_val:
             batch["img_paths"] = [item[2] for item in items]
             batch["all_captions"] = [item[3] for item in items]
+        if with_ids:
+            batch["img_ids"] = [item[2] for item in items]
         return batch
 
     def __iter__(self):
@@ -175,6 +178,170 @@ def pad_batch_to(arrays, batch_size):
     reps = batch_size - valid
     return [np.concatenate([a, np.repeat(a[-1:], reps, axis=0)])
             for a in arrays] + [valid]
+
+
+class DeviceImageCache:
+    """Device-resident unique-image cache for per-caption training loops.
+
+    The dataset samples one item per *caption*, so every image's pixels
+    recur ~5x per epoch (414,113 captions / 82,783 train images,
+    reference: dataset.py:73-75) — and the reference re-ships them to
+    the device every time (``imgs.to(device)`` per batch,
+    models/baseline.py:214-215). TPU-natively the image set is immutable
+    input data: keep one uint8 copy of each distinct image in HBM and
+    gather the batch by index on device, so each image crosses the
+    host->HBM link ONCE per epoch (~12.5 GB instead of ~62 GB at the
+    COCO-2014 scale). Bit-identical training: the gathered rows are the
+    same pixels in the same batch order, so every loss matches the
+    direct-ship path exactly (tests/test_device_image_cache.py).
+
+    Protocol: enable ``dataset.return_ids``, then ``rewrite(batch)``
+    each collated batch. It returns the batch with ``imgs`` replaced by
+
+      fresh_imgs  (k, H, W, C) uint8 — only the images not yet in HBM,
+                  padded to a power-of-two bucket k (stable XLA shapes;
+                  pad rows target the scratch slot, see below)
+      fresh_slots (k,) int32 — buffer rows to write them to
+      idx         (B,) int32 — per-sample buffer row to gather
+
+    and the train step fuses insert + gather + step in ONE dispatch:
+
+        def step(..., buf, fresh_slots, fresh_imgs, idx, captions):
+            buf = buf.at[fresh_slots].set(fresh_imgs)   # donated
+            imgs = buf[idx]
+            ...
+            return ..., buf
+
+    ``init_buffer()`` allocates ``capacity + 1`` rows; the extra row is
+    a scratch slot that bucket-padding entries write garbage to and
+    nothing ever gathers. When the budget is smaller than the image set,
+    slots are reused round-robin — never evicting an image that appears
+    in the current batch (the gather would read the overwriting image's
+    pixels otherwise).
+    """
+
+    def __init__(self, budget_gb, img_shape, batch_size):
+        row_bytes = int(np.prod(img_shape))
+        self.capacity = max(
+            int(batch_size), int(budget_gb * (1 << 30)) // row_bytes)
+        self.img_shape = tuple(img_shape)
+        self.batch_size = int(batch_size)
+        self.slot_of = {}     # img_id -> slot
+        self.slot_owner = {}  # slot -> img_id (for round-robin eviction)
+        self.next_slot = 0
+        self.hits = 0
+        self.misses = 0
+
+    def init_buffer(self, sharding=None):
+        """(capacity + 1, H, W, C) uint8 device buffer (last row =
+        scratch for bucket padding)."""
+        import jax
+        import jax.numpy as jnp
+
+        buf = jnp.zeros((self.capacity + 1,) + self.img_shape, jnp.uint8)
+        if sharding is not None:
+            buf = jax.device_put(buf, sharding)
+        return buf
+
+    def _assign_slot(self, img_id, batch_ids):
+        """Round-robin slot for a new image, skipping slots whose owner
+        is referenced by the current batch."""
+        for _ in range(self.capacity + self.batch_size):
+            slot = self.next_slot % self.capacity
+            self.next_slot += 1
+            owner = self.slot_owner.get(slot)
+            if owner is None or owner not in batch_ids:
+                if owner is not None:
+                    del self.slot_of[owner]
+                self.slot_of[img_id] = slot
+                self.slot_owner[slot] = img_id
+                return slot
+        raise RuntimeError("DeviceImageCache: no evictable slot "
+                           "(capacity {} < distinct images in one "
+                           "batch?)".format(self.capacity))
+
+    @staticmethod
+    def _bucket(n):
+        k = 1
+        while k < n:
+            k *= 2
+        return k
+
+    def rewrite(self, batch):
+        """Split a collated train batch (imgs + img_ids) into the
+        insert+gather form documented on the class."""
+        ids = batch.pop("img_ids")
+        imgs = batch.pop("imgs")
+        batch_ids = set(ids)
+        fresh_pos, fresh_slots = [], []
+        for i, img_id in enumerate(ids):
+            if img_id in self.slot_of:
+                self.hits += 1
+                continue
+            fresh_pos.append(i)
+            fresh_slots.append(self._assign_slot(img_id, batch_ids))
+            self.misses += 1
+        k = self._bucket(max(len(fresh_pos), 1))
+        pad = k - len(fresh_pos)
+        # Padding rows write the first image's pixels into the scratch
+        # slot (row ``capacity``): shipped but never gathered.
+        fresh_imgs = imgs[(fresh_pos + [0] * pad)]
+        slots = np.asarray(fresh_slots + [self.capacity] * pad, np.int32)
+        batch["fresh_imgs"] = np.ascontiguousarray(fresh_imgs)
+        batch["fresh_slots"] = slots
+        batch["idx"] = np.asarray(
+            [self.slot_of[i] for i in ids], np.int32)
+        return batch
+
+
+def device_image_cache_from_env(dataset, batch_size):
+    """DeviceImageCache from ICD_TPU_DEVICE_IMAGE_CACHE (GB; 0/unset/
+    malformed = off). Flips the dataset into return_ids mode."""
+    import os
+
+    try:
+        gb = float(os.environ.get("ICD_TPU_DEVICE_IMAGE_CACHE", "0") or 0)
+    except ValueError:
+        gb = 0.0
+    if gb <= 0:
+        return None
+    dataset.return_ids = True
+    shape = (dataset.img_size, dataset.img_size, 3)
+    return DeviceImageCache(gb, shape, batch_size)
+
+
+def cached_batches(loader, img_cache, mesh, size=2):
+    """Producer-thread pipeline for the DeviceImageCache train path:
+    rewrite each collated batch into insert+gather form and place the
+    leaves (batch-dim leaves sharded over 'data', fresh-insert leaves
+    replicated) — the cache-path counterpart of device_prefetch.
+    ``loader`` is any iterable of collated train batches carrying
+    ``img_ids`` (a DataLoader over a return_ids dataset, optionally
+    wrapped by the BERT producer)."""
+    import jax
+
+    from ..parallel.mesh import batch_sharding, replicated
+
+    n_data = mesh.shape.get("data", 1)
+    repl = replicated(mesh)
+    batch_keys = ("idx", "captions", "caption_lengths", "padded_lengths",
+                  "embeddings")
+
+    def gen():
+        for b in iter(loader):
+            b = img_cache.rewrite(b)
+            out = Batch()
+            for key, v in b.items():
+                if not isinstance(v, np.ndarray):
+                    out[key] = v
+                elif key in batch_keys and v.shape[0] % n_data == 0:
+                    out[key] = jax.device_put(
+                        v, batch_sharding(mesh, v.ndim))
+                else:
+                    out[key] = jax.device_put(v, repl)
+            yield out
+
+    return host_prefetch(gen(), size=size)
 
 
 def host_prefetch(iterator, size=2):

@@ -26,8 +26,9 @@ from ..checkpoint import (load_checkpoint, save_checkpoint,
                           unpack_checkpoint, wait_pending_saves)
 from ..data.dataset import COCODataset
 from ..data.pipeline import (
-    DataLoader, device_prefetch, eval_workers, host_prefetch,
-    pad_batch_to, snap_eval_batch)
+    Batch, DataLoader, cached_batches, device_image_cache_from_env,
+    device_prefetch, eval_workers, host_prefetch, pad_batch_to,
+    snap_eval_batch)
 from ..metric import AccumulatingMetric, get_eval_score, probe_meteor
 from ..models.attention import (
     AttentionDecoderParams, attention_decoder_forward,
@@ -213,14 +214,32 @@ def train(args, mesh=None):
         params = {"encoder": encoder, "decoder": merge(
             trainable, frozen)["decoder"]}
         trainable, frozen = partition(params, mask)
-    step_fn = jax.jit(make_train_step(
+    raw_step = make_train_step(
         mask, tx, args.alpha_c, args.decoder_dropout,
-        compute_dtype=compute_dtype, qresnet=qresnet))
+        compute_dtype=compute_dtype, qresnet=qresnet)
+    step_fn = jax.jit(raw_step)
+
+    # Opt-in device-side unique-image cache (ICD_TPU_DEVICE_IMAGE_CACHE,
+    # GB): see training/baseline.py and data.pipeline.DeviceImageCache.
+    img_cache = device_image_cache_from_env(dataset, args.batch_size)
+    if img_cache is not None:
+        def _cached_step(trainable, frozen, opt_state, rng_t, buf,
+                         fresh_slots, fresh_imgs, idx, captions,
+                         decode_lengths, embeddings):
+            buf = buf.at[fresh_slots].set(fresh_imgs)
+            trainable, frozen, opt_state, loss = raw_step(
+                trainable, frozen, opt_state, rng_t, buf[idx],
+                captions, decode_lengths, embeddings)
+            return trainable, frozen, opt_state, loss, buf
+
+        cached_step_fn = jax.jit(_cached_step, donate_argnums=4)
 
     num_batches = len(loader)
     epoch_losses = metrics.get("epoch_losses", [])
     step_rng = jax.random.PRNGKey(1)
     with mesh, maybe_profile("train_" + args.model_name):
+        if img_cache is not None:
+            buf = img_cache.init_buffer(replicated(mesh))
         for epoch in range(start_epoch, args.epochs):
             batch_losses = []
             accum_loss = AccumulatingMetric()
@@ -245,11 +264,14 @@ def train(args, mesh=None):
                         yield b
 
                 batch_iter = _with_bert(batch_iter)
-            batches = device_prefetch(
-                batch_iter, size=2,
-                sharding=lambda x: (
-                    batch_sharding(mesh, x.ndim)
-                    if x.shape[0] % n_data == 0 else replicated(mesh)))
+            if img_cache is not None:
+                batches = cached_batches(batch_iter, img_cache, mesh)
+            else:
+                batches = device_prefetch(
+                    batch_iter, size=2,
+                    sharding=lambda x: (
+                        batch_sharding(mesh, x.ndim)
+                        if x.shape[0] % n_data == 0 else replicated(mesh)))
             def _finish(loss_val, batch_idx, dt):
                 # Called by the LossDrain with the fetched scalar and the
                 # batch's dispatch-to-dispatch interval; print content
@@ -272,10 +294,18 @@ def train(args, mesh=None):
                 # uniform decode window covering pads
                 # (attention.py:311-313).
                 decode_lengths = batch["padded_lengths"] - 1
-                trainable, frozen, opt_state, loss = step_fn(
-                    trainable, frozen, opt_state, rng_t,
-                    batch["imgs"], batch["captions"], decode_lengths,
-                    batch.get("embeddings"))
+                if img_cache is not None:
+                    (trainable, frozen, opt_state, loss,
+                     buf) = cached_step_fn(
+                        trainable, frozen, opt_state, rng_t, buf,
+                        batch["fresh_slots"], batch["fresh_imgs"],
+                        batch["idx"], batch["captions"],
+                        decode_lengths, batch.get("embeddings"))
+                else:
+                    trainable, frozen, opt_state, loss = step_fn(
+                        trainable, frozen, opt_state, rng_t,
+                        batch["imgs"], batch["captions"], decode_lengths,
+                        batch.get("embeddings"))
                 drain.push(loss, batch_idx)
             drain.flush()
 
@@ -297,8 +327,7 @@ def train(args, mesh=None):
 # Evaluation
 # ---------------------------------------------------------------------------
 
-def make_eval_step():
-    @jax.jit
+def make_eval_step(cached=False):
     def step(encoder, decoder, imgs, captions, decode_lengths,
              embeddings=None):
         grid, _ = encoder_attention_forward(encoder, imgs, train=False)
@@ -321,7 +350,19 @@ def make_eval_step():
         preds = jnp.argmax(scores, axis=2)
         return ce + reg, preds
 
-    return step
+    if not cached:
+        return jax.jit(step)
+
+    # DeviceImageCache variant: insert fresh images + gather the batch
+    # + eval step in one dispatch (same pixels, identical numerics).
+    def cached_step(encoder, decoder, buf, fresh_slots, fresh_imgs,
+                    idx, captions, decode_lengths, embeddings=None):
+        buf = buf.at[fresh_slots].set(fresh_imgs)
+        per_sample, preds = step(encoder, decoder, buf[idx], captions,
+                                 decode_lengths, embeddings)
+        return per_sample, preds, buf
+
+    return jax.jit(cached_step, donate_argnums=2)
 
 
 def evaluate(args, encoder, decoder, batch_size=64, use_bert=False):
@@ -366,7 +407,11 @@ def evaluate(args, encoder, decoder, batch_size=64, use_bert=False):
 
     encoder = jax.tree_util.tree_map(jnp.asarray, encoder)
     decoder = jax.tree_util.tree_map(jnp.asarray, decoder)
-    step = make_eval_step()
+    # Device-side unique-image cache for the val images (each recurs
+    # ~5x across the per-caption samples): ship once, gather by index.
+    img_cache = device_image_cache_from_env(dataset, batch_size)
+    step = make_eval_step(cached=img_cache is not None)
+    buf = img_cache.init_buffer() if img_cache is not None else None
 
     references, hypotheses, losses = [], [], []
     accum_loss = AccumulatingMetric()
@@ -392,7 +437,18 @@ def evaluate(args, encoder, decoder, batch_size=64, use_bert=False):
             embeddings = (bert_embedder(np.asarray(captions),
                                         lengths=np.asarray(lengths))
                           if bert_embedder is not None else None)
-            yield (jax.device_put(imgs), jax.device_put(captions),
+            if img_cache is not None:
+                # Val items carry no img_id; the image path is the
+                # identity key (pad rows repeat the last sample's).
+                ids = list(batch["img_paths"])
+                ids += [ids[-1]] * (batch_size - valid)
+                fb = img_cache.rewrite(Batch(imgs=imgs, img_ids=ids))
+                imgs = (jax.device_put(fb["fresh_slots"]),
+                        jax.device_put(fb["fresh_imgs"]),
+                        jax.device_put(fb["idx"]))
+            else:
+                imgs = jax.device_put(imgs)
+            yield (imgs, jax.device_put(captions),
                    jax.device_put((lengths - 1).astype(np.int32)),
                    embeddings, valid, batch)
 
@@ -425,8 +481,14 @@ def evaluate(args, encoder, decoder, batch_size=64, use_bert=False):
     pending = None
     for batch_idx, (imgs, captions, dec_lens, embeddings, valid,
                     batch) in enumerate(host_prefetch(_staged(), size=2)):
-        per_sample, preds = step(encoder, decoder, imgs, captions,
-                                 dec_lens, embeddings)
+        if img_cache is not None:
+            fresh_slots, fresh_imgs, idx = imgs
+            per_sample, preds, buf = step(
+                encoder, decoder, buf, fresh_slots, fresh_imgs, idx,
+                captions, dec_lens, embeddings)
+        else:
+            per_sample, preds = step(encoder, decoder, imgs, captions,
+                                     dec_lens, embeddings)
         if pending is not None:
             _drain(pending[0], pending[1])
         pending = ((per_sample, preds, valid, batch), batch_idx)

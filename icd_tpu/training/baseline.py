@@ -32,8 +32,9 @@ from ..checkpoint import (load_checkpoint, save_checkpoint,
                           unpack_checkpoint, wait_pending_saves)
 from ..data.dataset import COCODataset
 from ..data.pipeline import (
-    DataLoader, device_prefetch, eval_workers, host_prefetch,
-    pad_batch_to, snap_eval_batch)
+    Batch, DataLoader, cached_batches, device_image_cache_from_env,
+    device_prefetch, eval_workers, host_prefetch, pad_batch_to,
+    snap_eval_batch)
 from ..metric import AccumulatingMetric, get_eval_score, probe_meteor
 from ..models.baseline import (
     BaselineDecoderParams, baseline_decoder_forward, init_baseline_decoder,
@@ -271,25 +272,50 @@ def train(args, mesh=None):
         params = {"encoder": encoder, "decoder": merge(
             trainable, frozen)["decoder"]}
         trainable, frozen = partition(params, mask)
-    step_fn = jax.jit(make_train_step(pad_idx, mask, tx,
-                                      compute_dtype=compute_dtype,
-                                      qresnet=qresnet))
+    raw_step = make_train_step(pad_idx, mask, tx,
+                               compute_dtype=compute_dtype,
+                               qresnet=qresnet)
+    step_fn = jax.jit(raw_step)
+
+    # Opt-in device-side unique-image cache (ICD_TPU_DEVICE_IMAGE_CACHE,
+    # GB): per-caption sampling re-ships every image ~5x per epoch; with
+    # the cache each distinct image crosses the host->device link once
+    # and the step gathers it from HBM by index — insert + gather + step
+    # fused into ONE dispatch, losses bit-identical to the direct path
+    # (see data.pipeline.DeviceImageCache).
+    img_cache = device_image_cache_from_env(dataset, args.batch_size)
+    if img_cache is not None:
+        def _cached_step(trainable, frozen, opt_state, buf,
+                         fresh_slots, fresh_imgs, idx, captions):
+            buf = buf.at[fresh_slots].set(fresh_imgs)
+            trainable, frozen, opt_state, loss = raw_step(
+                trainable, frozen, opt_state, buf[idx], captions)
+            return trainable, frozen, opt_state, loss, buf
+
+        cached_step_fn = jax.jit(_cached_step, donate_argnums=3)
 
     train_start = time.time()
     num_batches = len(loader)
     epoch_losses = metrics.get("epoch_losses", [])
     with mesh, maybe_profile("train_" + args.model_name):
+        if img_cache is not None:
+            # One buffer for the whole run: epochs after the first ship
+            # almost nothing (every image already resident).
+            buf = img_cache.init_buffer(replicated(mesh))
         for epoch in range(start_epoch, args.epochs):
             batch_losses = []
             accum_loss = AccumulatingMetric()
             accum_time = AccumulatingMetric()
 
             n_data = mesh.shape.get("data", 1)
-            batches = device_prefetch(
-                iter(loader), size=2,
-                sharding=lambda x: (
-                    batch_sharding(mesh, x.ndim)
-                    if x.shape[0] % n_data == 0 else replicated(mesh)))
+            if img_cache is not None:
+                batches = cached_batches(loader, img_cache, mesh)
+            else:
+                batches = device_prefetch(
+                    iter(loader), size=2,
+                    sharding=lambda x: (
+                        batch_sharding(mesh, x.ndim)
+                        if x.shape[0] % n_data == 0 else replicated(mesh)))
             def _finish(loss_val, batch_idx, dt):
                 # Called by the LossDrain with the fetched scalar and the
                 # batch's dispatch-to-dispatch interval; print content
@@ -307,9 +333,16 @@ def train(args, mesh=None):
 
             drain = LossDrain(_finish)
             for batch_idx, batch in enumerate(batches):
-                trainable, frozen, opt_state, loss = step_fn(
-                    trainable, frozen, opt_state,
-                    batch["imgs"], batch["captions"])
+                if img_cache is not None:
+                    (trainable, frozen, opt_state, loss,
+                     buf) = cached_step_fn(
+                        trainable, frozen, opt_state, buf,
+                        batch["fresh_slots"], batch["fresh_imgs"],
+                        batch["idx"], batch["captions"])
+                else:
+                    trainable, frozen, opt_state, loss = step_fn(
+                        trainable, frozen, opt_state,
+                        batch["imgs"], batch["captions"])
                 drain.push(loss, batch_idx)
             drain.flush()
 
@@ -332,8 +365,7 @@ def train(args, mesh=None):
 # Evaluation
 # ---------------------------------------------------------------------------
 
-def make_eval_step():
-    @jax.jit
+def make_eval_step(cached=False):
     def step(encoder, decoder, imgs, captions, lengths):
         feats, _ = encoder_forward(encoder, imgs, train=False)
         scores = baseline_decoder_forward(decoder, feats, captions)
@@ -350,7 +382,19 @@ def make_eval_step():
         preds = jnp.argmax(scores, axis=2)
         return per_sample, preds
 
-    return step
+    if not cached:
+        return jax.jit(step)
+
+    # DeviceImageCache variant: insert fresh images + gather the batch
+    # + eval step in one dispatch (same pixels, identical numerics).
+    def cached_step(encoder, decoder, buf, fresh_slots, fresh_imgs,
+                    idx, captions, lengths):
+        buf = buf.at[fresh_slots].set(fresh_imgs)
+        per_sample, preds = step(encoder, decoder, buf[idx], captions,
+                                 lengths)
+        return per_sample, preds, buf
+
+    return jax.jit(cached_step, donate_argnums=2)
 
 
 def evaluate(args, encoder, decoder, batch_size=64):
@@ -375,7 +419,11 @@ def evaluate(args, encoder, decoder, batch_size=64):
 
     encoder = jax.tree_util.tree_map(jnp.asarray, encoder)
     decoder = jax.tree_util.tree_map(jnp.asarray, decoder)
-    step = make_eval_step()
+    # Device-side unique-image cache for the val images (each recurs
+    # ~5x across the per-caption samples): ship once, gather by index.
+    img_cache = device_image_cache_from_env(dataset, batch_size)
+    step = make_eval_step(cached=img_cache is not None)
+    buf = img_cache.init_buffer() if img_cache is not None else None
 
     references, hypotheses, losses = [], [], []
     accum_loss = AccumulatingMetric()
@@ -391,7 +439,19 @@ def evaluate(args, encoder, decoder, batch_size=64):
             imgs, captions, lengths, valid = pad_batch_to(
                 (batch["imgs"], batch["captions"],
                  batch["caption_lengths"]), batch_size)
-            yield (jax.device_put(imgs), jax.device_put(captions),
+            if img_cache is not None:
+                # Val items carry no img_id; the image path is the
+                # identity key (pad rows repeat the last sample's).
+                ids = list(batch["img_paths"])
+                ids += [ids[-1]] * (batch_size - valid)
+                fb = img_cache.rewrite(
+                    Batch(imgs=imgs, img_ids=ids))
+                imgs = (jax.device_put(fb["fresh_slots"]),
+                        jax.device_put(fb["fresh_imgs"]),
+                        jax.device_put(fb["idx"]))
+            else:
+                imgs = jax.device_put(imgs)
+            yield (imgs, jax.device_put(captions),
                    jax.device_put(lengths.astype(np.float32)),
                    valid, batch)
 
@@ -424,8 +484,14 @@ def evaluate(args, encoder, decoder, batch_size=64):
     pending = None
     for batch_idx, (imgs, captions, lengths, valid, batch) in enumerate(
             host_prefetch(_staged(), size=2)):
-        per_sample, preds = step(encoder, decoder, imgs, captions,
-                                 lengths)
+        if img_cache is not None:
+            fresh_slots, fresh_imgs, idx = imgs
+            per_sample, preds, buf = step(
+                encoder, decoder, buf, fresh_slots, fresh_imgs, idx,
+                captions, lengths)
+        else:
+            per_sample, preds = step(encoder, decoder, imgs, captions,
+                                     lengths)
         if pending is not None:
             _drain(pending[0], pending[1])
         pending = ((per_sample, preds, valid, batch), batch_idx)
