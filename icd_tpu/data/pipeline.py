@@ -220,10 +220,14 @@ class DeviceImageCache:
     pixels otherwise).
     """
 
-    def __init__(self, budget_gb, img_shape, batch_size):
+    def __init__(self, budget_gb, img_shape, batch_size, max_images=None):
         row_bytes = int(np.prod(img_shape))
         self.capacity = max(
             int(batch_size), int(budget_gb * (1 << 30)) // row_bytes)
+        if max_images is not None:
+            # Never allocate more rows than distinct images exist.
+            self.capacity = max(int(batch_size),
+                                min(self.capacity, int(max_images)))
         self.img_shape = tuple(img_shape)
         self.batch_size = int(batch_size)
         self.slot_of = {}     # img_id -> slot
@@ -307,7 +311,9 @@ def device_image_cache_from_env(dataset, batch_size):
         return None
     dataset.return_ids = True
     shape = (dataset.img_size, dataset.img_size, 3)
-    return DeviceImageCache(gb, shape, batch_size)
+    return DeviceImageCache(gb, shape, batch_size,
+                            max_images=len(getattr(dataset, "img_ids",
+                                                   []) or []) or None)
 
 
 def cached_batches(loader, img_cache, mesh, size=2):
