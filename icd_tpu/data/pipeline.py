@@ -237,12 +237,23 @@ class DeviceImageCache:
         self.misses = 0
 
     def init_buffer(self, sharding=None):
-        """(capacity + 1, H, W, C) uint8 device buffer (last row =
-        scratch for bucket padding)."""
+        """(capacity + 1, H*W*C) uint8 device buffer (last row = scratch
+        for bucket padding).
+
+        Rows are FLAT: a (N, 224, 224, 3) uint8 buffer pads its minor
+        dims to TPU tile boundaries (measured 11.61 -> 13.26 GB) and the
+        in-program relayout defeated scatter aliasing — the compiler
+        materialized a second full-size HLO temp and the COCO-sized
+        buffer OOM'd at compile (25.2 GB demand on a 16 GB chip). The
+        flat (N, 150528) form is tile-aligned (150528 % 128 == 0), and
+        the fused scatter+gather step compiles and runs in place at full
+        COCO size (probed on-chip). Gather consumers reshape rows back
+        to (H, W, C)."""
         import jax
         import jax.numpy as jnp
 
-        buf = jnp.zeros((self.capacity + 1,) + self.img_shape, jnp.uint8)
+        row = int(np.prod(self.img_shape))
+        buf = jnp.zeros((self.capacity + 1, row), jnp.uint8)
         if sharding is not None:
             buf = jax.device_put(buf, sharding)
         return buf
@@ -271,6 +282,14 @@ class DeviceImageCache:
             k *= 2
         return k
 
+    def gather(self, buf, idx):
+        """Jit-traceable: gather ``idx`` rows and restore (B, H, W, C)."""
+        return buf[idx].reshape((idx.shape[0],) + self.img_shape)
+
+    def insert(self, buf, fresh_slots, fresh_imgs):
+        """Jit-traceable: scatter flat fresh rows into the buffer."""
+        return buf.at[fresh_slots].set(fresh_imgs)
+
     def rewrite(self, batch):
         """Split a collated train batch (imgs + img_ids) into the
         insert+gather form documented on the class."""
@@ -291,7 +310,8 @@ class DeviceImageCache:
         # slot (row ``capacity``): shipped but never gathered.
         fresh_imgs = imgs[(fresh_pos + [0] * pad)]
         slots = np.asarray(fresh_slots + [self.capacity] * pad, np.int32)
-        batch["fresh_imgs"] = np.ascontiguousarray(fresh_imgs)
+        batch["fresh_imgs"] = np.ascontiguousarray(
+            fresh_imgs).reshape(k, -1)  # flat rows, see init_buffer
         batch["fresh_slots"] = slots
         batch["idx"] = np.asarray(
             [self.slot_of[i] for i in ids], np.int32)

@@ -226,9 +226,9 @@ def train(args, mesh=None):
         def _cached_step(trainable, frozen, opt_state, rng_t, buf,
                          fresh_slots, fresh_imgs, idx, captions,
                          decode_lengths, embeddings):
-            buf = buf.at[fresh_slots].set(fresh_imgs)
+            buf = img_cache.insert(buf, fresh_slots, fresh_imgs)
             trainable, frozen, opt_state, loss = raw_step(
-                trainable, frozen, opt_state, rng_t, buf[idx],
+                trainable, frozen, opt_state, rng_t, img_cache.gather(buf, idx),
                 captions, decode_lengths, embeddings)
             return trainable, frozen, opt_state, loss, buf
 
@@ -327,7 +327,7 @@ def train(args, mesh=None):
 # Evaluation
 # ---------------------------------------------------------------------------
 
-def make_eval_step(cached=False):
+def make_eval_step(img_cache=None):
     def step(encoder, decoder, imgs, captions, decode_lengths,
              embeddings=None):
         grid, _ = encoder_attention_forward(encoder, imgs, train=False)
@@ -350,15 +350,15 @@ def make_eval_step(cached=False):
         preds = jnp.argmax(scores, axis=2)
         return ce + reg, preds
 
-    if not cached:
+    if img_cache is None:
         return jax.jit(step)
 
     # DeviceImageCache variant: insert fresh images + gather the batch
     # + eval step in one dispatch (same pixels, identical numerics).
     def cached_step(encoder, decoder, buf, fresh_slots, fresh_imgs,
                     idx, captions, decode_lengths, embeddings=None):
-        buf = buf.at[fresh_slots].set(fresh_imgs)
-        per_sample, preds = step(encoder, decoder, buf[idx], captions,
+        buf = img_cache.insert(buf, fresh_slots, fresh_imgs)
+        per_sample, preds = step(encoder, decoder, img_cache.gather(buf, idx), captions,
                                  decode_lengths, embeddings)
         return per_sample, preds, buf
 
@@ -410,7 +410,7 @@ def evaluate(args, encoder, decoder, batch_size=64, use_bert=False):
     # Device-side unique-image cache for the val images (each recurs
     # ~5x across the per-caption samples): ship once, gather by index.
     img_cache = device_image_cache_from_env(dataset, batch_size)
-    step = make_eval_step(cached=img_cache is not None)
+    step = make_eval_step(img_cache)
     buf = img_cache.init_buffer() if img_cache is not None else None
 
     references, hypotheses, losses = [], [], []

@@ -287,9 +287,9 @@ def train(args, mesh=None):
     if img_cache is not None:
         def _cached_step(trainable, frozen, opt_state, buf,
                          fresh_slots, fresh_imgs, idx, captions):
-            buf = buf.at[fresh_slots].set(fresh_imgs)
+            buf = img_cache.insert(buf, fresh_slots, fresh_imgs)
             trainable, frozen, opt_state, loss = raw_step(
-                trainable, frozen, opt_state, buf[idx], captions)
+                trainable, frozen, opt_state, img_cache.gather(buf, idx), captions)
             return trainable, frozen, opt_state, loss, buf
 
         cached_step_fn = jax.jit(_cached_step, donate_argnums=3)
@@ -365,7 +365,7 @@ def train(args, mesh=None):
 # Evaluation
 # ---------------------------------------------------------------------------
 
-def make_eval_step(cached=False):
+def make_eval_step(img_cache=None):
     def step(encoder, decoder, imgs, captions, lengths):
         feats, _ = encoder_forward(encoder, imgs, train=False)
         scores = baseline_decoder_forward(decoder, feats, captions)
@@ -382,16 +382,17 @@ def make_eval_step(cached=False):
         preds = jnp.argmax(scores, axis=2)
         return per_sample, preds
 
-    if not cached:
+    if img_cache is None:
         return jax.jit(step)
 
     # DeviceImageCache variant: insert fresh images + gather the batch
     # + eval step in one dispatch (same pixels, identical numerics).
     def cached_step(encoder, decoder, buf, fresh_slots, fresh_imgs,
                     idx, captions, lengths):
-        buf = buf.at[fresh_slots].set(fresh_imgs)
-        per_sample, preds = step(encoder, decoder, buf[idx], captions,
-                                 lengths)
+        buf = img_cache.insert(buf, fresh_slots, fresh_imgs)
+        per_sample, preds = step(
+            encoder, decoder, img_cache.gather(buf, idx), captions,
+            lengths)
         return per_sample, preds, buf
 
     return jax.jit(cached_step, donate_argnums=2)
@@ -422,7 +423,7 @@ def evaluate(args, encoder, decoder, batch_size=64):
     # Device-side unique-image cache for the val images (each recurs
     # ~5x across the per-caption samples): ship once, gather by index.
     img_cache = device_image_cache_from_env(dataset, batch_size)
-    step = make_eval_step(cached=img_cache is not None)
+    step = make_eval_step(img_cache)
     buf = img_cache.init_buffer() if img_cache is not None else None
 
     references, hypotheses, losses = [], [], []

@@ -31,15 +31,16 @@ def _img(i):
 
 
 def _apply(buf, batch):
-    """Replay the step's insert+gather in numpy."""
+    """Replay the step's insert+gather in numpy (flat rows, see
+    DeviceImageCache.init_buffer)."""
     buf = np.array(buf)
     buf[batch["fresh_slots"]] = batch["fresh_imgs"]
-    return buf, buf[batch["idx"]]
+    return buf, buf[batch["idx"]].reshape(-1, 4, 4, 3)
 
 
 def test_rewrite_gathers_original_pixels():
     cache = DeviceImageCache(1.0, (4, 4, 3), batch_size=4)
-    buf = np.zeros((cache.capacity + 1, 4, 4, 3), np.uint8)
+    buf = np.zeros((cache.capacity + 1, 48), np.uint8)
 
     b1 = _batch([10, 11, 10, 12], _img)
     want = np.array(b1["imgs"])
@@ -78,7 +79,7 @@ def test_eviction_never_touches_current_batch():
     # Capacity 5 (5 rows of 4x4x3 = 240 B budget), working set larger.
     cache = DeviceImageCache(5 * 48 / (1 << 30), (4, 4, 3), batch_size=4)
     assert cache.capacity == 5
-    buf = np.zeros((cache.capacity + 1, 4, 4, 3), np.uint8)
+    buf = np.zeros((cache.capacity + 1, 48), np.uint8)
     rng = np.random.default_rng(0)
     for step in range(60):
         ids = list(rng.integers(0, 12, 4))  # 12 distinct > 5 slots
