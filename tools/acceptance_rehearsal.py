@@ -103,6 +103,13 @@ def main(argv=None):
                    help="add --amp True to the train phase (TPU "
                         "extension row; default is the reference's "
                         "f32 numerics)")
+    p.add_argument("--epochs", type=int, default=1,
+                   help="train-phase epoch count. The reference's own "
+                        "published multi-epoch run is 4 epochs in "
+                        "5350.7 s (training_output/baseline_3.out); "
+                        "--epochs 4 reproduces that workload so the "
+                        "warm-cache epochs 2+ are measured, not "
+                        "extrapolated")
     args = p.parse_args(argv)
 
     root = os.path.abspath(args.root)
@@ -133,14 +140,17 @@ def main(argv=None):
             cmd = [sys.executable, os.path.join(REPO_ROOT, "init.py"),
                    "--vocab", "True"]
         elif phase == "train":
+            cfg = list(CONFIGS[args.model])
+            cfg[cfg.index("--epochs") + 1] = str(args.epochs)
             cmd = ([sys.executable, os.path.join(REPO_ROOT, "train.py")]
-                   + CONFIGS[args.model]
-                   + ["--print_freq", str(args.print_freq)])
+                   + cfg + ["--print_freq", str(args.print_freq)])
             if args.amp:
                 cmd += ["--amp", "True"]
         elif phase == "eval":
+            ckpt = CKPT[args.model].replace(
+                "_0.ckpt", "_{}.ckpt".format(args.epochs - 1))
             cmd = [sys.executable, os.path.join(REPO_ROOT, "eval.py"),
-                   CKPT[args.model], "--model_type", args.model,
+                   ckpt, "--model_type", args.model,
                    "--print_freq", str(args.print_freq)]
         else:
             raise SystemExit("unknown phase: " + phase)
@@ -163,6 +173,20 @@ def main(argv=None):
                       text)
         if m:
             rec["train_loop_s"] = float(m.group(1))
+            # Per-epoch attribution: the per-batch Time column is
+            # dispatch-to-dispatch host pacing, so its per-epoch sum
+            # approximates each epoch's share of the loop — this is
+            # what makes the cold (cache-populating) epoch 1 vs the
+            # warm epochs 2+ split a recorded fact rather than an
+            # extrapolation.
+            sums = {}
+            for ep, dt in re.findall(
+                    r"Epoch (\d+)/\d+, Batch \d+/\d+, "
+                    r"Loss [\d.]+, Time: ([\d.]+)", text):
+                sums[int(ep)] = sums.get(int(ep), 0.0) + float(dt)
+            if sums:
+                rec["epoch_time_sums_s"] = [
+                    round(sums[k], 1) for k in sorted(sums)]
         m = re.search(r"finished evaluation in ([\d.]+)", text)
         if m:
             rec["eval_loop_s"] = float(m.group(1))
