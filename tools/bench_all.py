@@ -40,7 +40,8 @@ BATTERY = [
     # bert family rows (device-only; the host-torch rows are ~10 min
     # and stable session to session — tools/bench_bert.py --skip-host).
     ("train_bert",
-     [sys.executable, "tools/bench_bert.py", "--skip-host"], 3600),
+     [sys.executable, "tools/bench_bert.py", "--skip-host",
+      "--imgcache"], 3600),
 ]
 
 

@@ -359,6 +359,81 @@ def main():
     jax.device_get(pending); pending.clear()
     overlap_int8_t = (time.perf_counter() - t0) / steps
 
+    # Steady-state (epochs >= 2) row: the shipped train loop with
+    # ICD_TPU_DEVICE_IMAGE_CACHE (training/attention.py:222-235) once
+    # every image is HBM-resident — the producer ships only captions +
+    # a (1, 150528) pad row and the step gathers pixels by index on
+    # device (bit-identical losses, tests/test_device_image_cache.py).
+    # At COCO scale epoch 1 populates the cache (82,783 uniques across
+    # 12,942 batches), so this is the real per-step shape of every
+    # subsequent `train.py --use_bert` epoch, not a synthetic best case.
+    imgcache_t = float("nan")
+    if "--imgcache" in sys.argv:
+        from icd_tpu.data.pipeline import DeviceImageCache, host_prefetch
+
+        cache = DeviceImageCache(1.0, (224, 224, 3), BATCH,
+                                 max_images=steps * BATCH)
+
+        def cached_step(t, f, o, buf, fresh_slots, fresh_imgs, idx,
+                        captions, embeddings):
+            buf = cache.insert(buf, fresh_slots, fresh_imgs)
+            t, f, o, loss = att_step(
+                t, f, o, key, cache.gather(buf, idx), captions,
+                decode_lengths, embeddings)
+            return t, f, o, loss, buf
+
+        cached_fn = jax.jit(cached_step, donate_argnums=3)
+        buf = cache.init_buffer()
+
+        def fresh_caption_batches():
+            out = []
+            for i, b in enumerate(host_batches):
+                caps = np.concatenate(
+                    [np.full((BATCH, 1), len(vocab) - 3),
+                     rng.integers(1, N_WORDS, (BATCH, CAP_LEN - 2)),
+                     np.full((BATCH, 1), len(vocab) - 2)],
+                    axis=1).astype(np.int32)
+                out.append({"imgs": b["imgs"], "captions": caps,
+                            "img_ids": list(range(i * BATCH,
+                                                  (i + 1) * BATCH))})
+            return out
+
+        def cache_gen(batches):
+            # Producer thread: BERT fwd dispatch + rewrite (host dict
+            # lookups; all-hit batches slice one pad row).
+            for b in with_bert(iter(batches), embedder_dev):
+                yield cache.rewrite(b)
+
+        def run_epoch(batches, buf, state):
+            embedder_dev._cache.clear()
+            pend = []
+            t0 = time.perf_counter()
+            for fb in host_prefetch(cache_gen(batches), size=2):
+                t, f, o = state
+                t, f, o, loss, buf = cached_fn(
+                    t, f, o, buf, jnp.asarray(fb["fresh_slots"]),
+                    jnp.asarray(fb["fresh_imgs"]),
+                    jnp.asarray(fb["idx"]), jnp.asarray(fb["captions"]),
+                    jnp.asarray(fb["embeddings"]))
+                state = (t, f, o)
+                pend.append(loss)
+                if len(pend) >= 16:
+                    jax.device_get(pend)
+                    pend.clear()
+            jax.device_get(pend)
+            return state, buf, time.perf_counter() - t0
+
+        # Epoch 1: populate (k=32 bucket compiles + every image ships).
+        state, buf, _ = run_epoch(fresh_caption_batches(), buf, state)
+        # Warm steady epoch off the clock: first all-hit batch compiles
+        # the k=1 bucket program, and a fresh program's first execution
+        # can read ~40% slow through the tunnel (CLAUDE.md).
+        state, buf, _ = run_epoch(fresh_caption_batches(), buf, state)
+        cache.hits = cache.misses = 0
+        state, buf, wall = run_epoch(fresh_caption_batches(), buf, state)
+        assert cache.misses == 0, "steady epoch should be all-hit"
+        imgcache_t = wall / steps
+
     # Overlapped + device BERT + --amp train step (the TPU-extension
     # config: bf16 compute, f32 master weights — training/attention.py).
     emb_amp = embedder_dev(host_batches[0]["captions"])
@@ -396,6 +471,10 @@ def main():
           "%.0f captions/s)"
           % (overlap_amp_t * 1e3, 100.0 * overlap_amp_t / inline_t,
              BATCH / overlap_amp_t))
+    if imgcache_t == imgcache_t:
+        print("overlapped+devBERT imgcache steady epoch: %.1f ms/step "
+              "(%.0f captions/s)"
+              % (imgcache_t * 1e3, BATCH / imgcache_t))
 
 
 if __name__ == "__main__":
