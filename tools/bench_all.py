@@ -42,6 +42,11 @@ BATTERY = [
     ("train_bert",
      [sys.executable, "tools/bench_bert.py", "--skip-host",
       "--imgcache"], 3600),
+    # Per-component decomposition of the overlapped bert step (the
+    # VERDICT r4 #2 floor accounting) — same session as the row it
+    # explains.
+    ("bert_decompose",
+     [sys.executable, "tools/bench_bert.py", "--decompose"], 3600),
 ]
 
 
